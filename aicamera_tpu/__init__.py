@@ -1,0 +1,29 @@
+"""AICamera-TPU: a TPU-native real-time video detection + tracking engine.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the AI-Camera
+reference (YOLOv8 detection + DeepSORT tracking), designed TPU-first:
+
+- Detection: Flax YOLOv8 (n/s/m) running under ``jax.jit`` in bf16 with a
+  fused on-device letterbox/normalize preprocess (Pallas kernel) and
+  fixed-shape XLA decode+NMS (replacing the reference's TensorRT engine with
+  baked-in NMS, reference ``src/trt_utils/trt_engine.py`` +
+  ``src/detector/yolo_detector.py``).
+- Tracking: a purely functional DeepSORT core over fixed-capacity padded
+  state arrays — vmapped Kalman predict/update, batched cosine/IoU cost
+  matrices, Mahalanobis gating and an on-device Hungarian assignment inside
+  the matching cascade (replacing the reference's per-object Python loops in
+  ``src/tracker/core/*``).
+- ReID: a Flax residual embedder over batched on-device crops (replacing
+  ``src/tracker/reid_model.py``).
+- Scale-out: multi-stream batched tracking via ``jax.vmap`` over a leading
+  stream axis, sharded across chips with ``jax.sharding``/``shard_map``.
+
+Public API mirrors the reference surface (``YOLODetector``, ``DeepSORT``,
+CLI flags) so users of the reference can switch directly.
+"""
+
+__version__ = "0.1.0"
+
+from . import config  # noqa: F401
+
+__all__ = ["config", "__version__"]

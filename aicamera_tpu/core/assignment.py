@@ -1,0 +1,209 @@
+"""Jit-compatible optimal assignment (Hungarian / Jonker-Volgenant style).
+
+The reference delegates track-detection assignment to
+``scipy.optimize.linear_sum_assignment`` (C++ Hungarian) from Python per
+cascade level (``src/tracker/core/linear_assignment.py:19-88``). Here the
+solver itself runs on-device inside ``jax.jit`` so the whole tracking step
+stays on the TPU with no host round trip: a shortest-augmenting-path LAPJV
+solver over fixed-shape padded cost matrices, with masked (ineligible) rows
+skipped at runtime via ``lax.cond`` and masked columns priced at the clamp
+value so they can never displace a feasible match.
+
+Semantics preserved from the reference:
+- costs above ``max_distance`` are clamped to ``max_distance + 1e-5`` before
+  solving (linear_assignment.py:58);
+- accepted matches must satisfy ``cost <= max_distance`` post-solve (:76);
+- the matching cascade runs one assignment per ``time_since_update`` level,
+  against only the still-unmatched detections (:91-157).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class _PathState(NamedTuple):
+    sr: jnp.ndarray       # (n,) bool — rows visited
+    sc: jnp.ndarray       # (n,) bool — cols visited
+    spc: jnp.ndarray      # (n,) f32 — shortest path cost to each col
+    path: jnp.ndarray     # (n,) i32 — predecessor row for each col
+    min_val: jnp.ndarray  # scalar f32
+    cur_row: jnp.ndarray  # scalar i32
+    sink: jnp.ndarray     # scalar i32, -1 until an unassigned col is found
+
+
+def _augment_row(i, cost, u, v, col4row, row4col):
+    """Run one shortest augmenting path from row ``i`` and apply it."""
+    n = cost.shape[0]
+    init = _PathState(
+        sr=jnp.zeros((n,), jnp.bool_),
+        sc=jnp.zeros((n,), jnp.bool_),
+        spc=jnp.full((n,), jnp.inf, jnp.float32),
+        path=jnp.full((n,), -1, jnp.int32),
+        min_val=jnp.float32(0.0),
+        cur_row=jnp.int32(i),
+        sink=jnp.int32(-1),
+    )
+
+    def cond_fn(st: _PathState):
+        return st.sink < 0
+
+    def body_fn(st: _PathState):
+        sr = st.sr.at[st.cur_row].set(True)
+        reduced = st.min_val + cost[st.cur_row] - u[st.cur_row] - v
+        upd = (~st.sc) & (reduced < st.spc)
+        spc = jnp.where(upd, reduced, st.spc)
+        path = jnp.where(upd, st.cur_row, st.path)
+        masked = jnp.where(st.sc, jnp.inf, spc)
+        j = jnp.argmin(masked).astype(jnp.int32)
+        min_val = masked[j]
+        sc = st.sc.at[j].set(True)
+        r = row4col[j]
+        sink = jnp.where(r < 0, j, jnp.int32(-1))
+        cur_row = jnp.where(r < 0, st.cur_row, r)
+        return _PathState(sr, sc, spc, path, min_val, cur_row, sink)
+
+    st = lax.while_loop(cond_fn, body_fn, init)
+
+    # Dual variable update (potentials), as in the classical JV scheme.
+    rows = jnp.arange(n)
+    u = u.at[i].add(st.min_val)
+    spc_at_assigned = st.spc[jnp.clip(col4row, 0, n - 1)]
+    u = jnp.where(st.sr & (rows != i), u + st.min_val - spc_at_assigned, u)
+    v = jnp.where(st.sc, v - (st.min_val - st.spc), v)
+
+    # Augment: walk back from the sink flipping assignments.
+    def aug_cond(c):
+        return ~c[3]
+
+    def aug_body(c):
+        j, row4col, col4row, _ = c
+        i_ = st.path[j]
+        row4col = row4col.at[j].set(i_)
+        j_next = col4row[i_]
+        col4row = col4row.at[i_].set(j)
+        return (j_next, row4col, col4row, i_ == i)
+
+    _, row4col, col4row, _ = lax.while_loop(
+        aug_cond, aug_body, (st.sink, row4col, col4row, jnp.bool_(False)))
+    return u, v, col4row, row4col
+
+
+def solve_square(cost: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
+    """Optimal assignment on a square (n, n) cost matrix.
+
+    Rows where ``row_mask`` is False are skipped (left unassigned). All cost
+    entries must be finite. Returns ``col4row`` (n,) int32 with -1 for
+    unassigned rows.
+    """
+    n = cost.shape[0]
+    cost = cost.astype(jnp.float32)
+    u = jnp.zeros((n,), jnp.float32)
+    v = jnp.zeros((n,), jnp.float32)
+    col4row = jnp.full((n,), -1, jnp.int32)
+    row4col = jnp.full((n,), -1, jnp.int32)
+
+    def body(i, carry):
+        u, v, col4row, row4col = carry
+        return lax.cond(
+            row_mask[i],
+            lambda c: _augment_row(i, cost, *c),
+            lambda c: c,
+            (u, v, col4row, row4col),
+        )
+
+    _, _, col4row, _ = lax.fori_loop(0, n, body, (u, v, col4row, row4col))
+    return col4row
+
+
+@partial(jax.jit, static_argnames=())
+def min_cost_matching(cost: jnp.ndarray,
+                      row_mask: jnp.ndarray,
+                      col_mask: jnp.ndarray,
+                      max_distance: jnp.ndarray) -> jnp.ndarray:
+    """Masked minimum-cost matching with the reference's threshold semantics.
+
+    Args:
+        cost: ``(R, C)`` original cost matrix (may contain INFTY entries).
+        row_mask: ``(R,)`` bool — rows eligible for matching.
+        col_mask: ``(C,)`` bool — columns eligible for matching.
+        max_distance: scalar acceptance threshold.
+
+    Returns:
+        ``(R,)`` int32: matched column per row, -1 if unmatched. A match is
+        accepted only when both ends are eligible and the *original* cost is
+        ``<= max_distance`` (reference linear_assignment.py:76).
+    """
+    r, c = cost.shape
+    n = max(r, c)
+    clamp = max_distance + 1e-5
+
+    eligible = row_mask[:, None] & col_mask[None, :]
+    clamped = jnp.where(eligible & (cost <= max_distance), cost, clamp)
+    padded = jnp.full((n, n), clamp, jnp.float32)
+    padded = padded.at[:r, :c].set(clamped.astype(jnp.float32))
+
+    row_mask_p = jnp.zeros((n,), jnp.bool_).at[:r].set(row_mask)
+    col4row = solve_square(padded, row_mask_p)[:r]
+
+    j = jnp.clip(col4row, 0, c - 1)
+    ok = (
+        row_mask
+        & (col4row >= 0)
+        & (col4row < c)
+        & col_mask[j]
+        & (cost[jnp.arange(r), j] <= max_distance)
+    )
+    return jnp.where(ok, col4row, -1)
+
+
+def matching_cascade(cost: jnp.ndarray,
+                     track_level: jnp.ndarray,
+                     track_eligible: jnp.ndarray,
+                     det_valid: jnp.ndarray,
+                     max_distance: float,
+                     cascade_depth: int):
+    """DeepSORT matching cascade over ``time_since_update`` levels.
+
+    One assignment per level ``L`` in ``[1, cascade_depth]`` restricted to
+    eligible tracks with ``track_level == L`` against still-unmatched
+    detections (reference linear_assignment.py:91-157). The cost matrix is
+    level-independent so it is computed once by the caller.
+
+    Args:
+        cost: ``(T, N)`` appearance cost (already Mahalanobis-gated).
+        track_level: ``(T,)`` int — time_since_update per track.
+        track_eligible: ``(T,)`` bool — confirmed, active tracks.
+        det_valid: ``(N,)`` bool — detections available for matching.
+        max_distance: acceptance threshold.
+        cascade_depth: max level (== max_age).
+
+    Returns:
+        (match ``(T,)`` int32 det index or -1, det_unmatched ``(N,)`` bool).
+    """
+    t, nd = cost.shape
+    match0 = jnp.full((t,), -1, jnp.int32)
+
+    def level_body(level, carry):
+        match, det_unmatched = carry
+        rows = track_eligible & (track_level == level + 1)
+        do = jnp.any(rows) & jnp.any(det_unmatched)
+
+        lvl_match = lax.cond(
+            do,
+            lambda: min_cost_matching(cost, rows, det_unmatched,
+                                      jnp.float32(max_distance)),
+            lambda: match0,
+        )
+        match = jnp.where(lvl_match >= 0, lvl_match, match)
+        claimed = jnp.zeros((nd + 1,), jnp.bool_).at[
+            jnp.where(lvl_match >= 0, lvl_match, nd)].set(True)[:nd]
+        det_unmatched = det_unmatched & ~claimed
+        return match, det_unmatched
+
+    return lax.fori_loop(0, cascade_depth, level_body, (match0, det_valid))

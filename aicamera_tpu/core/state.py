@@ -1,0 +1,134 @@
+"""Fixed-capacity tracker state and detection containers (pytrees).
+
+The reference keeps a growing/shrinking Python ``List[Track]`` of objects
+(``src/tracker/core/track.py``, ``tracker_core.py:41``). For XLA we need
+static shapes, so all track attributes live in padded arrays of length
+``max_tracks`` with an ``active`` mask; the feature gallery is a per-track
+FIFO ring buffer instead of a Python list (track.py:70-74). Detections are
+likewise padded to ``max_detections`` with a ``valid`` mask (the analog of
+``List[Detection]``, detection.py:15-26).
+
+Track lifecycle states mirror reference ``TrackState`` (track.py:10-14):
+Tentative=1, Confirmed=2. Deleted tracks are pruned immediately (the
+reference removes them at the end of every update, tracker_core.py:75), so
+deletion is simply ``active=False``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import struct
+
+TENTATIVE = 1
+CONFIRMED = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerParams:
+    """Static tracker hyper-parameters (hashable; safe as a jit static arg).
+
+    Defaults mirror reference ``src/config.py:23-29`` / ``TrackerCore``
+    defaults (tracker_core.py:18-38).
+    """
+    max_cosine_distance: float = 0.2
+    nn_budget: int = 100
+    max_iou_distance: float = 0.7
+    max_age: int = 70
+    n_init: int = 3
+    max_tracks: int = 128
+    max_detections: int = 64
+    feature_dim: int = 512
+
+
+@struct.dataclass
+class TrackerState:
+    """All track slots as padded arrays. Shapes use T=max_tracks, G=budget."""
+    active: jnp.ndarray        # (T,) bool — slot holds a live track
+    state: jnp.ndarray         # (T,) int32 — TENTATIVE / CONFIRMED
+    mean: jnp.ndarray          # (T, 8) f32 — KF state mean
+    cov: jnp.ndarray           # (T, 8, 8) f32 — KF state covariance
+    hits: jnp.ndarray          # (T,) int32
+    age: jnp.ndarray           # (T,) int32
+    tsu: jnp.ndarray           # (T,) int32 — time_since_update
+    track_id: jnp.ndarray      # (T,) int32
+    class_id: jnp.ndarray      # (T,) int32
+    conf: jnp.ndarray          # (T,) f32 — last matched detection confidence
+    gallery: jnp.ndarray       # (T, G, D) f32 — ReID feature ring buffer
+    gallery_count: jnp.ndarray  # (T,) int32 — valid entries (<= G)
+    gallery_next: jnp.ndarray  # (T,) int32 — next write slot in the ring
+    next_id: jnp.ndarray       # () int32 — next track id to assign
+    dropped: jnp.ndarray       # () int32 — detections dropped to capacity
+
+
+@struct.dataclass
+class Detections:
+    """Padded per-frame detections (already class/confidence filtered)."""
+    tlwh: jnp.ndarray          # (N, 4) f32
+    conf: jnp.ndarray          # (N,) f32
+    class_id: jnp.ndarray      # (N,) int32
+    feature: jnp.ndarray       # (N, D) f32 — zeros when has_feature is False
+    has_feature: jnp.ndarray   # (N,) bool
+    valid: jnp.ndarray         # (N,) bool
+
+
+def init_state(params: TrackerParams) -> TrackerState:
+    """Fresh tracker state; track ids restart at 1 (track.py:160-163)."""
+    t, g, d = params.max_tracks, params.nn_budget, params.feature_dim
+    return TrackerState(
+        active=jnp.zeros((t,), jnp.bool_),
+        state=jnp.zeros((t,), jnp.int32),
+        mean=jnp.zeros((t, 8), jnp.float32),
+        cov=jnp.zeros((t, 8, 8), jnp.float32),
+        hits=jnp.zeros((t,), jnp.int32),
+        age=jnp.zeros((t,), jnp.int32),
+        tsu=jnp.zeros((t,), jnp.int32),
+        track_id=jnp.zeros((t,), jnp.int32),
+        class_id=jnp.zeros((t,), jnp.int32),
+        conf=jnp.zeros((t,), jnp.float32),
+        gallery=jnp.zeros((t, g, d), jnp.float32),
+        gallery_count=jnp.zeros((t,), jnp.int32),
+        gallery_next=jnp.zeros((t,), jnp.int32),
+        next_id=jnp.int32(1),
+        dropped=jnp.int32(0),
+    )
+
+
+def make_detections(tlwh, conf, class_id, feature=None, has_feature=None,
+                    valid=None, *, params: TrackerParams) -> Detections:
+    """Pad raw detection arrays to the static capacity.
+
+    Accepts numpy or jax arrays with leading dim n <= max_detections.
+    """
+    n = params.max_detections
+    d = params.feature_dim
+    tlwh = jnp.asarray(tlwh, jnp.float32).reshape(-1, 4)
+    k = tlwh.shape[0]
+    if k > n:
+        raise ValueError(f"{k} detections exceed capacity {n}")
+    conf = jnp.asarray(conf, jnp.float32).reshape(-1)
+    class_id = jnp.asarray(class_id, jnp.int32).reshape(-1)
+    if feature is None:
+        feature = jnp.zeros((k, d), jnp.float32)
+        has_feature = jnp.zeros((k,), jnp.bool_)
+    else:
+        feature = jnp.asarray(feature, jnp.float32).reshape(k, d)
+        if has_feature is None:
+            has_feature = jnp.ones((k,), jnp.bool_)
+        else:
+            has_feature = jnp.asarray(has_feature, jnp.bool_).reshape(-1)
+    if valid is None:
+        valid = jnp.ones((k,), jnp.bool_)
+    else:
+        valid = jnp.asarray(valid, jnp.bool_).reshape(-1)
+
+    pad = n - k
+    return Detections(
+        tlwh=jnp.pad(tlwh, ((0, pad), (0, 0))),
+        conf=jnp.pad(conf, (0, pad)),
+        class_id=jnp.pad(class_id, (0, pad)),
+        feature=jnp.pad(feature, ((0, pad), (0, 0))),
+        has_feature=jnp.pad(has_feature, (0, pad)),
+        valid=jnp.pad(valid, (0, pad)),
+    )

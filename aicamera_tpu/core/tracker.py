@@ -1,0 +1,207 @@
+"""Functional DeepSORT tracker step: predict, associate, update, manage.
+
+Replaces the reference's ``TrackerCore`` (``src/tracker/core/tracker_core.py``)
+with two pure functions over :class:`TrackerState`:
+
+- :func:`predict` — vmapped KF prediction + age/tsu counters for every
+  active slot (tracker_core.py:44-49, track.py:76-80).
+- :func:`update` — the full association + lifecycle step
+  (tracker_core.py:51-177): gated-appearance matching cascade for confirmed
+  tracks, IoU matching for tentative and just-missed confirmed tracks,
+  masked KF corrections, gallery appends, confirmations, deletions and new
+  track initiation — all as one fixed-shape XLA program.
+
+Lifecycle semantics preserved exactly:
+- confirm at ``hits >= n_init`` (track.py:99-100);
+- tentative tracks deleted on first miss (track.py:112-114);
+- confirmed tracks deleted when ``tsu > max_age`` (track.py:115-118);
+- stage-2 IoU candidates are tentative tracks plus confirmed-unmatched
+  tracks with ``tsu == 1`` (tracker_core.py:138-141);
+- appearance threshold 0.2, IoU threshold 0.7, Mahalanobis gate
+  CHI2INV95[4] (tracker_core.py:119-130, linear_assignment.py:160-212);
+- new tracks get sequential ids in detection order (track.py:42-43,
+  tracker_core.py:71-72).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import kalman
+from .assignment import matching_cascade, min_cost_matching
+from .costs import (INFTY_COST, appearance_cost_matrix, iou_cost_matrix,
+                    mean_to_tlwh, tlwh_to_tlbr, tlwh_to_xyah)
+from .state import CONFIRMED, TENTATIVE, Detections, TrackerParams, TrackerState
+
+
+@partial(jax.jit, static_argnames=("params",))
+def predict(state: TrackerState, params: TrackerParams) -> TrackerState:
+    """KF-predict all active tracks; age += 1, time_since_update += 1."""
+    new_mean, new_cov = kalman.predict(state.mean, state.cov)
+    act = state.active
+    return state.replace(
+        mean=jnp.where(act[:, None], new_mean, state.mean),
+        cov=jnp.where(act[:, None, None], new_cov, state.cov),
+        age=jnp.where(act, state.age + 1, state.age),
+        tsu=jnp.where(act, state.tsu + 1, state.tsu),
+    )
+
+
+def _associate(state: TrackerState, dets: Detections, params: TrackerParams):
+    """Two-stage association. Returns (match (T,) det idx or -1, det_unmatched)."""
+    # --- Stage 1: gated appearance cascade over confirmed tracks ------------
+    meas_xyah = tlwh_to_xyah(dets.tlwh)  # (N, 4)
+    gal_idx = jnp.arange(state.gallery.shape[1])
+    gallery_valid = gal_idx[None, :] < state.gallery_count[:, None]  # (T, G)
+
+    app_cost = appearance_cost_matrix(
+        state.gallery, gallery_valid, dets.feature, dets.has_feature)
+    gate = kalman.gating_distance(state.mean, state.cov, meas_xyah)
+    app_cost = jnp.where(gate > kalman.CHI2INV95[4], INFTY_COST, app_cost)
+
+    confirmed = state.active & (state.state == CONFIRMED)
+    cascade_match, det_unmatched = matching_cascade(
+        app_cost, state.tsu, confirmed, dets.valid,
+        params.max_cosine_distance, params.max_age)
+
+    # --- Stage 2: IoU matching ----------------------------------------------
+    tentative = state.active & (state.state == TENTATIVE)
+    recently_missed = confirmed & (cascade_match < 0) & (state.tsu == 1)
+    iou_rows = tentative | recently_missed
+
+    track_tlwh = mean_to_tlwh(state.mean)
+    iou_cost = iou_cost_matrix(track_tlwh, dets.tlwh)
+    iou_match = min_cost_matching(
+        iou_cost, iou_rows, det_unmatched,
+        jnp.float32(params.max_iou_distance))
+
+    match = jnp.where(cascade_match >= 0, cascade_match, iou_match)
+    nd = dets.valid.shape[0]
+    claimed = jnp.zeros((nd + 1,), jnp.bool_).at[
+        jnp.where(iou_match >= 0, iou_match, nd)].set(True)[:nd]
+    det_unmatched = det_unmatched & ~claimed
+    return match, det_unmatched
+
+
+@partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))
+def update(state: TrackerState, dets: Detections,
+           params: TrackerParams) -> TrackerState:
+    """Measurement update + track management for one frame.
+
+    ``predict`` must have been called first (as in the reference, where
+    ``DeepSORT.update`` calls ``tracker_core.predict()`` then ``.update()``).
+    """
+    t = params.max_tracks
+    g = params.nn_budget
+    rows = jnp.arange(t)
+
+    match, det_unmatched = _associate(state, dets, params)
+    matched = match >= 0
+    det_idx = jnp.clip(match, 0)
+
+    # --- Matched tracks: KF correction + attribute updates ------------------
+    meas_xyah = tlwh_to_xyah(dets.tlwh)[det_idx]  # (T, 4)
+    up_mean, up_cov = kalman.update(state.mean, state.cov, meas_xyah)
+    mean = jnp.where(matched[:, None], up_mean, state.mean)
+    cov = jnp.where(matched[:, None, None], up_cov, state.cov)
+
+    hits = jnp.where(matched, state.hits + 1, state.hits)
+    tsu = jnp.where(matched, 0, state.tsu)
+    conf = jnp.where(matched, dets.conf[det_idx], state.conf)
+    class_id = jnp.where(matched, dets.class_id[det_idx], state.class_id)
+    st = jnp.where(
+        matched & (state.state == TENTATIVE) & (hits >= params.n_init),
+        CONFIRMED, state.state)
+
+    # Gallery append (FIFO ring, reference track.py:70-74).
+    add_feat = matched & dets.has_feature[det_idx]
+    pos = state.gallery_next
+    new_feats = dets.feature[det_idx]  # (T, D)
+    cur = state.gallery[rows, pos]
+    gallery = state.gallery.at[rows, pos].set(
+        jnp.where(add_feat[:, None], new_feats, cur))
+    gallery_count = jnp.where(
+        add_feat, jnp.minimum(state.gallery_count + 1, g), state.gallery_count)
+    gallery_next = jnp.where(add_feat, (pos + 1) % g, state.gallery_next)
+
+    # --- Unmatched tracks: mark_missed (track.py:106-119) -------------------
+    missed = state.active & ~matched
+    delete = missed & (
+        (state.state == TENTATIVE)
+        | ((state.state == CONFIRMED) & (tsu > params.max_age)))
+    active = state.active & ~delete
+
+    # --- Unmatched detections: initiate new tracks --------------------------
+    new_det = det_unmatched & dets.valid
+    free = ~active
+    n_free = jnp.sum(free)
+    # slot_of_rank[r] = index of the r-th free slot.
+    slot_rank = jnp.cumsum(free) - 1
+    slot_of_rank = jnp.full((t + 1,), t, jnp.int32).at[
+        jnp.where(free, slot_rank, t)].set(rows.astype(jnp.int32))[:t]
+
+    det_rank = jnp.cumsum(new_det) - 1  # rank among new detections
+    can_place = new_det & (det_rank < n_free)
+    dropped = jnp.sum(new_det & ~can_place)
+    slot_for_det = jnp.where(
+        can_place, slot_of_rank[jnp.clip(det_rank, 0, t - 1)], t)  # t = dump
+
+    init_mean, init_cov = kalman.initiate(tlwh_to_xyah(dets.tlwh))  # (N, ...)
+    new_ids = state.next_id + det_rank.astype(jnp.int32)
+
+    def scatter(arr, values, fill_dims=0):
+        """Scatter per-detection values into track slots (index t dropped)."""
+        padded = jnp.concatenate(
+            [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)], axis=0)
+        padded = padded.at[slot_for_det].set(values.astype(arr.dtype))
+        return padded[:t]
+
+    active = scatter(active, jnp.ones_like(new_det))
+    st = scatter(st, jnp.full_like(det_rank, TENTATIVE))
+    mean = scatter(mean, init_mean)
+    cov = scatter(cov, init_cov)
+    hits = scatter(hits, jnp.ones_like(det_rank))
+    age = scatter(state.age, jnp.ones_like(det_rank))
+    tsu = scatter(tsu, jnp.zeros_like(det_rank))
+    track_id = scatter(state.track_id, new_ids)
+    class_id = scatter(class_id, dets.class_id)
+    conf = scatter(conf, dets.conf)
+
+    # Seed gallery with the initiating detection's feature (track.py:63-64).
+    seed = dets.has_feature
+    seed_gal = jnp.zeros((dets.tlwh.shape[0], g, state.gallery.shape[2]),
+                         state.gallery.dtype)
+    seed_gal = seed_gal.at[:, 0].set(
+        jnp.where(seed[:, None], dets.feature, 0.0))
+    gallery = scatter(gallery, seed_gal)
+    gallery_count = scatter(gallery_count, seed.astype(jnp.int32))
+    gallery_next = scatter(gallery_next, seed.astype(jnp.int32) % g)
+
+    n_new = jnp.sum(can_place).astype(jnp.int32)
+    return state.replace(
+        active=active, state=st, mean=mean, cov=cov,
+        hits=hits, age=age, tsu=tsu,
+        track_id=track_id, class_id=class_id, conf=conf,
+        gallery=gallery, gallery_count=gallery_count,
+        gallery_next=gallery_next,
+        next_id=state.next_id + n_new,
+        dropped=state.dropped + dropped.astype(jnp.int32),
+    )
+
+
+@jax.jit
+def get_outputs(state: TrackerState):
+    """Confirmed tracks updated this frame, as (tlbr, id, class, conf, mask).
+
+    Mirrors the reference output contract (deepsort_tracker.py:126-141):
+    only confirmed tracks with ``time_since_update == 0``; widths/heights
+    clamped at >= 0.
+    """
+    tlwh = mean_to_tlwh(state.mean)
+    tlwh = tlwh.at[:, 2:].set(jnp.maximum(tlwh[:, 2:], 0.0))
+    tlbr = tlwh_to_tlbr(tlwh)
+    out_mask = state.active & (state.state == CONFIRMED) & (state.tsu == 0)
+    return tlbr, state.track_id, state.class_id, state.conf, out_mask

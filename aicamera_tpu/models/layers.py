@@ -1,0 +1,109 @@
+"""Building blocks for YOLOv8 in Flax (NHWC, TPU-native layout).
+
+Batch norms are folded into conv biases (inference framework; the ONNX files
+the reference consumes are exported with BN already fused, and
+``onnx_import`` folds any stray BN at load time), so every block is
+conv + bias + SiLU — exactly the fusion XLA emits as one MXU op plus a cheap
+VPU epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBlock(nn.Module):
+    """Conv2D + bias + SiLU ("Conv" in YOLOv8 terms, BN pre-folded)."""
+    features: int
+    kernel_size: int = 1
+    strides: int = 1
+    use_act: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.strides
+        pad = k // 2
+        x = nn.Conv(
+            self.features, (k, k), strides=(s, s),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+            name="conv")(x)
+        if self.use_act:
+            x = nn.silu(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """Two 3x3 convs with optional residual."""
+    features: int
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvBlock(self.features, 3, dtype=self.dtype, name="cv1")(x)
+        y = ConvBlock(self.features, 3, dtype=self.dtype, name="cv2")(y)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial block with 2 splits and n bottlenecks.
+
+    cv1 expands to 2*c hidden channels, the tensor is split in two, each
+    bottleneck chews on the latest chunk, and all chunks concat into cv2.
+    """
+    features: int
+    n: int = 1
+    shortcut: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features // 2
+        y = ConvBlock(2 * c, 1, dtype=self.dtype, name="cv1")(x)
+        chunks = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            chunks.append(
+                Bottleneck(c, self.shortcut, dtype=self.dtype,
+                           name=f"m{i}")(chunks[-1]))
+        y = jnp.concatenate(chunks, axis=-1)
+        return ConvBlock(self.features, 1, dtype=self.dtype, name="cv2")(y)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 chained 5x5 max-pools."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 2
+        x = ConvBlock(c, 1, dtype=self.dtype, name="cv1")(x)
+        outs = [x]
+        for _ in range(3):
+            outs.append(nn.max_pool(
+                outs[-1], (5, 5), strides=(1, 1), padding="SAME"))
+        x = jnp.concatenate(outs, axis=-1)
+        return ConvBlock(self.features, 1, dtype=self.dtype, name="cv2")(x)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample (NHWC)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def make_divisible(v: float, divisor: int = 8) -> int:
+    """Round channel counts the way YOLO scaling does."""
+    return max(divisor, int(v + divisor / 2) // divisor * divisor)
+
+
+def scale_channels(base: Sequence[int], width: float, max_channels: int):
+    return [min(make_divisible(c * width), max_channels) for c in base]

@@ -1,0 +1,120 @@
+"""On-device Hungarian vs scipy's linear_sum_assignment as the oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from aicamera_tpu.core.assignment import (matching_cascade, min_cost_matching,
+                                          solve_square)
+
+
+def scipy_total(cost):
+    r, c = linear_sum_assignment(cost)
+    return cost[r, c].sum()
+
+
+def test_solve_square_optimal_random():
+    rng = np.random.RandomState(0)
+    for n in (2, 5, 8, 16):
+        for _ in range(20):
+            cost = rng.rand(n, n).astype(np.float32)
+            col4row = np.asarray(solve_square(
+                jnp.asarray(cost), jnp.ones(n, bool)))
+            assert sorted(col4row.tolist()) == list(range(n))  # permutation
+            total = cost[np.arange(n), col4row].sum()
+            assert total == np.float32(scipy_total(cost)) or \
+                abs(total - scipy_total(cost)) < 1e-4
+
+
+def test_solve_square_skips_masked_rows():
+    cost = np.array([[1.0, 2.0], [5.0, 0.1]], np.float32)
+    mask = np.array([False, True])
+    col4row = np.asarray(solve_square(jnp.asarray(cost), jnp.asarray(mask)))
+    assert col4row[0] == -1
+    assert col4row[1] == 1
+
+
+def test_min_cost_matching_threshold():
+    # Only pairs with cost <= max_distance may match
+    cost = np.array([
+        [0.1, 0.9],
+        [0.9, 0.05],
+        [0.9, 0.9],
+    ], np.float32)
+    m = np.asarray(min_cost_matching(
+        jnp.asarray(cost), jnp.ones(3, bool), jnp.ones(2, bool),
+        jnp.float32(0.5)))
+    assert m[0] == 0 and m[1] == 1 and m[2] == -1
+
+
+def test_min_cost_matching_respects_masks():
+    cost = np.zeros((2, 2), np.float32)
+    m = np.asarray(min_cost_matching(
+        jnp.asarray(cost),
+        jnp.asarray([True, False]),
+        jnp.asarray([False, True]),
+        jnp.float32(0.5)))
+    assert m[0] == 1 and m[1] == -1
+
+
+def test_min_cost_matching_prefers_minimum_total():
+    # Row competition: scipy semantics, row 1 wins the cheap column and row 0
+    # falls back to its own feasible column.
+    cost = np.array([
+        [0.2, 0.3],
+        [0.1, 0.9],
+    ], np.float32)
+    m = np.asarray(min_cost_matching(
+        jnp.asarray(cost), jnp.ones(2, bool), jnp.ones(2, bool),
+        jnp.float32(0.5)))
+    assert m[0] == 1 and m[1] == 0
+
+
+def test_min_cost_matching_more_rows_than_cols_matches_scipy():
+    rng = np.random.RandomState(1)
+    for _ in range(20):
+        cost = rng.rand(6, 3).astype(np.float32)
+        m = np.asarray(min_cost_matching(
+            jnp.asarray(cost), jnp.ones(6, bool), jnp.ones(3, bool),
+            jnp.float32(2.0)))
+        r, c = linear_sum_assignment(cost)
+        ours = cost[[i for i in range(6) if m[i] >= 0],
+                    [m[i] for i in range(6) if m[i] >= 0]].sum()
+        assert abs(ours - cost[r, c].sum()) < 1e-5
+        assert (m >= 0).sum() == 3
+
+
+def test_cascade_prioritizes_recent_tracks():
+    # Track 0 at level 2 (tsu=2), track 1 at level 1 (tsu=1). Both want det 0;
+    # the cascade gives it to the more recently updated track even though the
+    # older track is cheaper (reference linear_assignment.py:129-151).
+    cost = np.array([
+        [0.01, 1.0],
+        [0.10, 1.0],
+    ], np.float32)
+    tsu = np.array([2, 1], np.int32)
+    eligible = np.ones(2, bool)
+    det_valid = np.array([True, False])
+    match, det_unmatched = matching_cascade(
+        jnp.asarray(cost), jnp.asarray(tsu), jnp.asarray(eligible),
+        jnp.asarray(det_valid), max_distance=0.2, cascade_depth=5)
+    match = np.asarray(match)
+    assert match[1] == 0  # recent track wins
+    assert match[0] == -1  # nothing left for the older track
+    assert not np.asarray(det_unmatched)[0]
+
+
+def test_cascade_multiple_levels():
+    cost = np.array([
+        [0.01, 0.15],
+        [0.10, 0.02],
+    ], np.float32)
+    tsu = np.array([3, 1], np.int32)
+    match, det_unmatched = matching_cascade(
+        jnp.asarray(cost), jnp.asarray(tsu), jnp.ones(2, bool),
+        jnp.ones(2, bool), max_distance=0.2, cascade_depth=5)
+    match = np.asarray(match)
+    # level 1: track 1 takes det 1 (its min). level 3: track 0 takes det 0.
+    assert match[1] == 1
+    assert match[0] == 0
+    assert not np.asarray(det_unmatched).any()
