@@ -100,6 +100,12 @@ def solve_square(cost: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
     Rows where ``row_mask`` is False are skipped (left unassigned). All cost
     entries must be finite. Returns ``col4row`` (n,) int32 with -1 for
     unassigned rows.
+
+    The augmenting loop is bounded by the *runtime* number of eligible rows
+    (eligible rows are compacted to the front with a stable sort), not the
+    padded capacity — with 8 live tracks out of 128 slots only 8 augmenting
+    passes execute. This is what keeps the sequential assignment cheap on
+    TPU, where every loop iteration costs fixed scheduling overhead.
     """
     n = cost.shape[0]
     cost = cost.astype(jnp.float32)
@@ -108,16 +114,22 @@ def solve_square(cost: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
     col4row = jnp.full((n,), -1, jnp.int32)
     row4col = jnp.full((n,), -1, jnp.int32)
 
-    def body(i, carry):
-        u, v, col4row, row4col = carry
-        return lax.cond(
-            row_mask[i],
-            lambda c: _augment_row(i, cost, *c),
-            lambda c: c,
-            (u, v, col4row, row4col),
-        )
+    # Compact eligible row indices to the front, preserving index order
+    # (stable sort) so the augmentation order matches row order.
+    order = jnp.argsort(~row_mask, stable=True).astype(jnp.int32)
+    n_eligible = jnp.sum(row_mask).astype(jnp.int32)
 
-    _, _, col4row, _ = lax.fori_loop(0, n, body, (u, v, col4row, row4col))
+    def cond_fn(carry):
+        return carry[0] < n_eligible
+
+    def body_fn(carry):
+        k, u, v, col4row, row4col = carry
+        i = order[k]
+        u, v, col4row, row4col = _augment_row(i, cost, u, v, col4row, row4col)
+        return (k + 1, u, v, col4row, row4col)
+
+    _, _, _, col4row, _ = lax.while_loop(
+        cond_fn, body_fn, (jnp.int32(0), u, v, col4row, row4col))
     return col4row
 
 
@@ -144,11 +156,21 @@ def min_cost_matching(cost: jnp.ndarray,
     clamp = max_distance + 1e-5
 
     eligible = row_mask[:, None] & col_mask[None, :]
+    feasible = eligible & (cost <= max_distance)
+    # Rows/cols with no feasible entry can never yield an accepted match,
+    # and in a min-sum assignment an infeasible row can never displace a
+    # feasible row from its column (feasible cost < clamp strictly), so
+    # dropping them preserves the accepted-match set while collapsing the
+    # worst case (dense infeasible matrices) to a tiny solve.
+    row_ok = row_mask & jnp.any(feasible, axis=1)
+    col_ok = col_mask & jnp.any(feasible, axis=0)
+
+    eligible = row_ok[:, None] & col_ok[None, :]
     clamped = jnp.where(eligible & (cost <= max_distance), cost, clamp)
     padded = jnp.full((n, n), clamp, jnp.float32)
     padded = padded.at[:r, :c].set(clamped.astype(jnp.float32))
 
-    row_mask_p = jnp.zeros((n,), jnp.bool_).at[:r].set(row_mask)
+    row_mask_p = jnp.zeros((n,), jnp.bool_).at[:r].set(row_ok)
     col4row = solve_square(padded, row_mask_p)[:r]
 
     j = jnp.clip(col4row, 0, c - 1)
@@ -188,22 +210,37 @@ def matching_cascade(cost: jnp.ndarray,
     """
     t, nd = cost.shape
     match0 = jnp.full((t,), -1, jnp.int32)
+    sentinel = jnp.int32(cascade_depth + 1)
 
-    def level_body(level, carry):
-        match, det_unmatched = carry
-        rows = track_eligible & (track_level == level + 1)
-        do = jnp.any(rows) & jnp.any(det_unmatched)
+    # Distinct time_since_update levels actually present among eligible
+    # tracks, ascending and compacted to the front. The loop visits only
+    # those (typically 1-3 per frame), not all `cascade_depth` levels.
+    lv = jnp.where(
+        track_eligible & (track_level >= 1) & (track_level <= cascade_depth),
+        track_level.astype(jnp.int32), sentinel)
+    sorted_lv = jnp.sort(lv)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_lv[1:] != sorted_lv[:-1]])
+    is_distinct = is_first & (sorted_lv < sentinel)
+    order = jnp.argsort(~is_distinct, stable=True)
+    distinct = jnp.where(is_distinct[order], sorted_lv[order], sentinel)
+    n_levels = jnp.sum(is_distinct).astype(jnp.int32)
 
-        lvl_match = lax.cond(
-            do,
-            lambda: min_cost_matching(cost, rows, det_unmatched,
-                                      jnp.float32(max_distance)),
-            lambda: match0,
-        )
+    def cond_fn(carry):
+        i, _, det_unmatched = carry
+        return (i < n_levels) & jnp.any(det_unmatched)
+
+    def body_fn(carry):
+        i, match, det_unmatched = carry
+        level = distinct[i]
+        rows = track_eligible & (track_level == level)
+        lvl_match = min_cost_matching(cost, rows, det_unmatched,
+                                      jnp.float32(max_distance))
         match = jnp.where(lvl_match >= 0, lvl_match, match)
         claimed = jnp.zeros((nd + 1,), jnp.bool_).at[
             jnp.where(lvl_match >= 0, lvl_match, nd)].set(True)[:nd]
-        det_unmatched = det_unmatched & ~claimed
-        return match, det_unmatched
+        return i + 1, match, det_unmatched & ~claimed
 
-    return lax.fori_loop(0, cascade_depth, level_body, (match0, det_valid))
+    _, match, det_unmatched = lax.while_loop(
+        cond_fn, body_fn, (jnp.int32(0), match0, det_valid))
+    return match, det_unmatched

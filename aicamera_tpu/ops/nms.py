@@ -1,0 +1,90 @@
+"""Fixed-shape class-aware NMS as XLA ops (the TensorRT NMS plugin analog).
+
+The reference's YOLO engine bakes NMS in and emits
+``(num_dets, bboxes, scores, labels)`` (``yolo_detector.py:100-112``,
+``export_trt_engines.sh``). This module reproduces that output contract as
+pure XLA: top-k candidate selection, one K×K IoU matrix, and an exact
+greedy suppression scan — all static shapes, fully fusible, no host sync.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Class-aware NMS trick: shift boxes per class so different classes never
+# overlap. Larger than any letterboxed coordinate.
+_CLASS_OFFSET = 8192.0
+
+
+def _pairwise_iou_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(K, 4) xyxy -> (K, K) IoU."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-7)
+
+
+@partial(jax.jit, static_argnames=("top_k", "max_det"))
+def _nms_single(boxes, scores_cls, score_threshold, iou_threshold,
+                top_k: int, max_det: int):
+    """NMS for one image. boxes (A,4), scores_cls (A,C)."""
+    best_score = jnp.max(scores_cls, axis=-1)
+    best_cls = jnp.argmax(scores_cls, axis=-1).astype(jnp.int32)
+    valid = best_score >= score_threshold
+    cand_score = jnp.where(valid, best_score, -1.0)
+
+    k_score, k_idx = lax.top_k(cand_score, top_k)  # (K,)
+    k_boxes = boxes[k_idx]
+    k_cls = best_cls[k_idx]
+    k_valid = k_score > 0
+
+    shifted = k_boxes + (k_cls.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
+    overlap = _pairwise_iou_xyxy(shifted) > iou_threshold  # (K, K)
+
+    # Exact greedy NMS over the score-sorted candidates: keep row i iff no
+    # already-kept higher-scored candidate overlaps it.
+    idx = jnp.arange(top_k)
+
+    def body(i, kept):
+        suppressed = jnp.any(kept & overlap[:, i] & (idx < i))
+        return kept.at[i].set(k_valid[i] & ~suppressed)
+
+    kept = lax.fori_loop(0, top_k, body, jnp.zeros((top_k,), jnp.bool_))
+
+    # Emit the top max_det kept candidates (already score-ordered).
+    order_score = jnp.where(kept, k_score, -1.0)
+    out_score, out_pos = lax.top_k(order_score, max_det)
+    out_valid = out_score > 0
+    out_boxes = jnp.where(out_valid[:, None], k_boxes[out_pos], 0.0)
+    out_cls = jnp.where(out_valid, k_cls[out_pos], 0)
+    out_score = jnp.where(out_valid, out_score, 0.0)
+    num = jnp.sum(out_valid).astype(jnp.int32)
+    return num, out_boxes, out_score, out_cls
+
+
+def batched_nms(boxes: jnp.ndarray, scores_cls: jnp.ndarray,
+                score_threshold: float = 0.25, iou_threshold: float = 0.5,
+                top_k: int = 300, max_det: int = 100):
+    """Class-aware NMS over a batch.
+
+    Args:
+        boxes: ``(B, A, 4)`` xyxy in letterboxed coords.
+        scores_cls: ``(B, A, C)`` per-class scores (post-sigmoid).
+
+    Returns:
+        num_dets ``(B,)``, boxes ``(B, max_det, 4)``, scores ``(B, max_det)``,
+        labels ``(B, max_det)`` — the reference engine's output contract.
+    """
+    fn = partial(_nms_single, top_k=top_k, max_det=max_det)
+    return jax.vmap(fn, in_axes=(0, 0, None, None))(
+        boxes, scores_cls,
+        jnp.float32(score_threshold), jnp.float32(iou_threshold))

@@ -1,0 +1,127 @@
+"""XLAEngine: compiled-function runtime with warm-up and I/O introspection.
+
+The TPU-native replacement for the reference's ``TRTEngine``
+(``src/trt_utils/trt_engine.py``): where TensorRT deserializes an AOT-built
+``.engine`` and executes it on a CUDA stream, XLAEngine wraps a JAX function
+with:
+
+- **AOT compile** via ``jax.jit(...).lower(...).compile()`` keyed on input
+  shapes, with JAX's persistent compilation cache enabled so the second
+  process start skips compilation (the analog of TensorRT's engine-build-
+  once workflow, ``scripts/export_trt_engines.sh``).
+- **Warm-up** iterations with dummy inputs (TRTEngine._warm_up :119-149).
+- **I/O introspection**: input/output names, shapes and dtypes
+  (TRTEngine._init_bindings_info :62-87, get_input_details :212-216).
+- **Async dispatch**: like ``execute_async_v3`` on the caller's stream
+  (:188-203), calls return device arrays immediately; the caller decides
+  when to block (JAX's async dispatch model).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Any, Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TensorInfo(NamedTuple):
+    """Parity with reference TensorInfo (trt_engine.py:11)."""
+    name: str
+    shape: tuple
+    dtype: Any
+
+
+_CACHE_INITIALIZED = False
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (engine-build-once UX)."""
+    global _CACHE_INITIALIZED
+    if _CACHE_INITIALIZED:
+        return
+    cache_dir = cache_dir or os.environ.get(
+        "AICAMERA_COMPILE_CACHE",
+        str(Path.home() / ".cache" / "aicamera_tpu" / "xla_cache"))
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_INITIALIZED = True
+    except Exception:  # pragma: no cover - older jax versions
+        pass
+
+
+class XLAEngine:
+    """Wraps a pure function into a compiled, warmed-up engine.
+
+    Args:
+        fn: pure function ``fn(*inputs) -> outputs`` (pytrees allowed).
+        example_inputs: concrete or ShapeDtypeStruct inputs fixing shapes.
+        name: label for logs/profiling.
+        warmup_iters: forward passes to run at build (reference does 5).
+        donate_argnums: arguments whose buffers XLA may reuse in-place.
+    """
+
+    def __init__(self, fn: Callable, example_inputs: Sequence[Any],
+                 name: str = "engine", warmup_iters: int = 5,
+                 static_argnums: Sequence[int] = (),
+                 donate_argnums: Sequence[int] = ()):
+        enable_persistent_cache()
+        self.name = name
+        self._fn = fn
+        jitted = jax.jit(fn, static_argnums=static_argnums,
+                         donate_argnums=donate_argnums)
+        shapes = jax.tree.map(
+            lambda x: x if isinstance(x, jax.ShapeDtypeStruct)
+            else jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype
+                                      if not hasattr(x, "dtype") else x.dtype),
+            list(example_inputs))
+        t0 = time.perf_counter()
+        self._compiled = jitted.lower(*shapes).compile()
+        self.compile_seconds = time.perf_counter() - t0
+        self._in_info = [
+            TensorInfo(f"input_{i}", tuple(s.shape), s.dtype)
+            for i, s in enumerate(jax.tree.leaves(shapes))]
+        out_shapes = jax.eval_shape(fn, *shapes)
+        self._out_info = [
+            TensorInfo(f"output_{i}", tuple(s.shape), s.dtype)
+            for i, s in enumerate(jax.tree.leaves(out_shapes))]
+        self.warmup_seconds = 0.0
+        if warmup_iters > 0 and not donate_argnums:
+            self._warm_up(shapes, warmup_iters)
+
+    def _warm_up(self, shapes, iters: int) -> None:
+        """Run dummy forward passes so first real inference is steady-state
+        (parity with TRTEngine._warm_up, trt_engine.py:119-149)."""
+        dummies = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = self._compiled(*dummies)
+        jax.block_until_ready(out)
+        self.warmup_seconds = time.perf_counter() - t0
+
+    def __call__(self, *inputs):
+        """Async execution: returns device arrays without blocking (the
+        caller syncs, exactly like the reference's stream contract)."""
+        return self._compiled(*inputs)
+
+    # --- introspection (TRTEngine.get_input_details/get_output_details) ---
+    def get_input_details(self):
+        return list(self._in_info)
+
+    def get_output_details(self):
+        return list(self._out_info)
+
+    def cost_analysis(self):
+        """FLOP/byte estimates from XLA (no TensorRT analog — bonus)."""
+        try:
+            return self._compiled.cost_analysis()
+        except Exception:
+            return {}

@@ -1,0 +1,213 @@
+"""DeepSORT and ReIDModel facades: the reference tracker API, TPU inside.
+
+``DeepSORT.update(bboxes, confs, class_ids, frame)`` keeps the exact
+call/return contract of the reference (``src/tracker/deepsort_tracker.py``:
+list of ``(x1, y1, x2, y2, track_id, class_name, conf)`` for confirmed,
+just-updated tracks), but internally pads the detections to static shapes
+and runs crop-gather + ReID + association + lifecycle as one jitted XLA
+step on the TPU.
+
+``ReIDModel`` mirrors ``src/tracker/reid_model.py``: batched feature
+extraction from host crop lists, with padded bucket shapes to bound
+recompiles (the reference's engine had dynamic batch 1..8; we bucket to
+powers of two).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config
+from .core import state as core_state
+from .core import tracker as core_tracker
+from .core.state import Detections, TrackerParams
+from .ops.crops import extract_reid_crops
+from .runtime.engine import enable_persistent_cache
+from .runtime.params import resolve_reid_params
+
+
+class ReIDModel:
+    """Appearance feature extractor with the reference's host-crop API."""
+
+    _BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+    def __init__(self,
+                 engine_path: str | None = None,
+                 input_shape: Tuple[int, int] = config.REID_INPUT_SHAPE,
+                 device=None):
+        enable_persistent_cache()
+        self.input_shape = tuple(input_shape)
+        self.device = device or jax.devices()[0]
+        self.model, self.params = resolve_reid_params(engine_path)
+        self.feature_dim = config.REID_FEATURE_DIM
+        self._apply = jax.jit(self.model.apply)
+
+    def _preprocess(self, crop_bgr: np.ndarray) -> np.ndarray:
+        """Host-side resize+normalize for the list API (parity with
+        image_processing.preprocess_reid_input :105-138)."""
+        import cv2
+        h, w = self.input_shape
+        resized = cv2.resize(crop_bgr, (w, h), interpolation=cv2.INTER_LINEAR)
+        rgb = resized[..., ::-1].astype(np.float32) / 255.0
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        return (rgb - mean) / std  # HWC (TPU-native layout)
+
+    def extract_features_batched(self, crops_bgr: List[np.ndarray]) -> np.ndarray:
+        """(N crops) -> (N, feature_dim) float32, L2-normalized.
+
+        Invalid (empty) crops contribute zero feature rows, matching the
+        reference's behavior of skipping them (reid_model.py:84-94).
+        """
+        if not crops_bgr:
+            return np.zeros((0, self.feature_dim), np.float32)
+        valid_idx = [i for i, c in enumerate(crops_bgr)
+                     if c is not None and c.size > 0
+                     and c.shape[0] > 0 and c.shape[1] > 0]
+        out = np.zeros((len(crops_bgr), self.feature_dim), np.float32)
+        if not valid_idx:
+            return out
+        batch = np.stack([self._preprocess(crops_bgr[i]) for i in valid_idx])
+        n = len(valid_idx)
+        bucket = next(b for b in self._BUCKETS if b >= n) if n <= 64 else n
+        padded = np.zeros((bucket, *batch.shape[1:]), np.float32)
+        padded[:n] = batch
+        feats = np.asarray(self._apply(self.params, jnp.asarray(padded)))
+        out[valid_idx] = feats[:n]
+        return out
+
+
+class DeepSORT:
+    """High-level tracker facade (reference deepsort_tracker.py:15-141)."""
+
+    def __init__(self,
+                 reid_model_path: str | None = None,
+                 reid_input_shape: Tuple[int, int] = config.REID_INPUT_SHAPE,
+                 max_cosine_distance: float = config.DEEPSORT_MAX_DIST,
+                 nn_budget: Optional[int] = config.DEEPSORT_NN_BUDGET,
+                 max_iou_distance: float = config.DEEPSORT_MAX_IOU_DISTANCE,
+                 max_age: int = config.DEEPSORT_MAX_AGE,
+                 n_init: int = config.DEEPSORT_N_INIT,
+                 min_detection_confidence: float = config.DEEPSORT_MIN_CONFIDENCE,
+                 max_tracks: int = config.MAX_TRACKS,
+                 max_detections: int = config.MAX_DETECTIONS,
+                 max_reid_crops: int = config.MAX_REID_CROPS):
+        enable_persistent_cache()
+        self.params = TrackerParams(
+            max_cosine_distance=max_cosine_distance,
+            nn_budget=nn_budget or 100,
+            max_iou_distance=max_iou_distance,
+            max_age=max_age,
+            n_init=n_init,
+            max_tracks=max_tracks,
+            max_detections=max_detections,
+            feature_dim=config.REID_FEATURE_DIM,
+        )
+        self.min_detection_confidence = float(min_detection_confidence)
+        self.max_reid_crops = int(max_reid_crops)
+        self.reid_model = ReIDModel(engine_path=reid_model_path,
+                                    input_shape=reid_input_shape)
+        self.state = core_state.init_state(self.params)
+        self.frame_count = 0
+        self._steps = {}
+        print("DeepSORT Tracker initialized (TPU/XLA).")
+        print(f"  TrackerCore Params: CosDist={max_cosine_distance}, "
+              f"IoUDist={max_iou_distance}, MaxAge={max_age}, NInit={n_init}, "
+              f"NNBudget={nn_budget}")
+
+    def reset(self):
+        self.state = core_state.init_state(self.params)
+        self.frame_count = 0
+
+    def _get_step(self, frame_hw):
+        key = tuple(frame_hw)
+        if key in self._steps:
+            return self._steps[key]
+        p = self.params
+        n_det = p.max_detections
+        n_crops = self.max_reid_crops
+        reid_apply = self.reid_model.model.apply
+
+        def step(reid_params, state, frame_u8, d_xyxy, d_conf, d_cls, d_valid):
+            crops, crop_valid = extract_reid_crops(
+                frame_u8, d_xyxy[:n_crops],
+                out_hw=self.reid_model.input_shape)
+            feats = reid_apply(reid_params, crops)
+            d_feats = jnp.zeros((n_det, p.feature_dim), jnp.float32)
+            d_feats = d_feats.at[:n_crops].set(feats.astype(jnp.float32))
+            d_hasfeat = jnp.zeros((n_det,), jnp.bool_).at[:n_crops].set(
+                crop_valid & d_valid[:n_crops])
+            tlwh = jnp.concatenate(
+                [d_xyxy[:, :2], d_xyxy[:, 2:] - d_xyxy[:, :2]], axis=-1)
+            dets = Detections(tlwh=tlwh, conf=d_conf, class_id=d_cls,
+                              feature=d_feats, has_feature=d_hasfeat,
+                              valid=d_valid)
+            state = core_tracker.predict(state, p)
+            state = core_tracker.update(state, dets, p)
+            return state, core_tracker.get_outputs(state)
+
+        self._steps[key] = jax.jit(step, donate_argnums=(1,))
+        return self._steps[key]
+
+    def update(self,
+               yolo_bboxes_xyxy: np.ndarray,
+               yolo_confidences: np.ndarray,
+               yolo_class_ids: np.ndarray,
+               original_frame_bgr: np.ndarray
+               ) -> List[Tuple[int, int, int, int, int, str, float]]:
+        """Process one frame's detections; returns confirmed fresh tracks.
+
+        Same contract as the reference (deepsort_tracker.py:63-141).
+        """
+        self.frame_count += 1
+        n_det = self.params.max_detections
+
+        boxes = np.asarray(yolo_bboxes_xyxy, np.float32).reshape(-1, 4)
+        confs = np.asarray(yolo_confidences, np.float32).reshape(-1)
+        clss = np.asarray(yolo_class_ids).reshape(-1).astype(np.int32)
+
+        # class + confidence filter (deepsort_tracker.py:88-95)
+        keep = []
+        for i in range(len(boxes)):
+            cid = int(clss[i])
+            name = config.CLASSES[cid] if 0 <= cid < len(config.CLASSES) \
+                else "Unknown"
+            if confs[i] >= self.min_detection_confidence and \
+                    name in config.CLASSES_TO_TRACK:
+                keep.append(i)
+        keep = keep[:n_det]
+
+        d_xyxy = np.zeros((n_det, 4), np.float32)
+        d_conf = np.zeros((n_det,), np.float32)
+        d_cls = np.zeros((n_det,), np.int32)
+        d_valid = np.zeros((n_det,), bool)
+        k = len(keep)
+        if k:
+            d_xyxy[:k] = boxes[keep]
+            d_conf[:k] = confs[keep]
+            d_cls[:k] = clss[keep]
+            d_valid[:k] = True
+
+        step = self._get_step(original_frame_bgr.shape[:2])
+        self.state, outs = step(
+            self.reid_model.params, self.state,
+            jnp.asarray(original_frame_bgr),
+            jnp.asarray(d_xyxy), jnp.asarray(d_conf),
+            jnp.asarray(d_cls), jnp.asarray(d_valid))
+        tlbr, ids, cls_ids, confs_out, mask = outs
+
+        mask = np.asarray(mask)
+        out = []
+        for b, i, c, s in zip(np.asarray(tlbr)[mask], np.asarray(ids)[mask],
+                              np.asarray(cls_ids)[mask],
+                              np.asarray(confs_out)[mask]):
+            name = config.CLASSES[int(c)] if 0 <= int(c) < len(config.CLASSES) \
+                else "Unknown"
+            out.append((int(round(float(b[0]))), int(round(float(b[1]))),
+                        int(round(float(b[2]))), int(round(float(b[3]))),
+                        int(i), name, float(s)))
+        return out
