@@ -1,0 +1,179 @@
+"""AICamera-TPU CLI: real-time object detection + tracking on video.
+
+Flag-compatible with the reference CLI (``src/aicamera_tracker.py:20-67``):
+``--input, --webcam_id, --output_dir, --output_filename, --show_display,
+--no_save, --conf_thresh, --device`` plus ``--yolo_weights/--reid_weights``
+(the analog of ``--yolo_engine/--reid_engine``) and TPU-specific knobs
+(``--chunk_size, --variant, --max_frames``).
+
+Run: ``python -m aicamera_tpu.cli --input video.mp4``
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+from . import config
+from .utils import visualization
+from .utils.video_io import VideoReader, VideoWriter
+
+
+def parse_arguments(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="AICamera-TPU: Real-time Object Detection & Tracking "
+                    "(JAX/XLA on TPU)")
+    parser.add_argument("--input", type=str, default=None,
+                        help="Path to input video file. If None, webcam.")
+    parser.add_argument("--webcam_id", type=int, default=0,
+                        help="Webcam ID used when --input is not given.")
+    parser.add_argument("--output_dir", type=str, default="outputs",
+                        help="Directory for the output video.")
+    parser.add_argument("--output_filename", type=str, default=None,
+                        help="Output video filename (auto-generated if None).")
+    parser.add_argument("--show_display", action="store_true",
+                        help="Show processed frames in a window.")
+    parser.add_argument("--no_save", action="store_true",
+                        help="Do not save the output video.")
+    parser.add_argument("--yolo_weights", "--yolo_engine", type=str,
+                        default=None, dest="yolo_weights",
+                        help="YOLO weights (.msgpack or .onnx).")
+    parser.add_argument("--reid_weights", "--reid_engine", type=str,
+                        default=None, dest="reid_weights",
+                        help="ReID weights (.msgpack or .onnx).")
+    parser.add_argument("--conf_thresh", type=float,
+                        default=config.YOLO_CONF_THRESHOLD,
+                        help="Confidence threshold for YOLO detections.")
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="Backend: 'tpu' (default) or 'cpu'.")
+    parser.add_argument("--variant", type=str, default="n",
+                        choices=("n", "s", "m", "l", "x"),
+                        help="YOLOv8 variant.")
+    parser.add_argument("--chunk_size", type=int, default=8,
+                        help="Frames per fused device step (throughput knob; "
+                             "1 = lowest latency).")
+    parser.add_argument("--max_frames", type=int, default=None,
+                        help="Stop after this many frames.")
+    parser.add_argument("--draw_detections", action="store_true",
+                        help="Also draw raw detections under the tracks.")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_arguments(argv)
+    if args.device.lower() == "cpu":
+        import os
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    # import after the backend env var is settled
+    from .runtime.pipeline import TrackingPipeline
+
+    # --- video input ----------------------------------------------------------
+    source = args.input if args.input else args.webcam_id
+    reader = VideoReader(source, max_frames=args.max_frames)
+    source_name = (Path(args.input).stem if args.input
+                   else f"webcam{args.webcam_id}")
+    print(f"Input: {source_name} ({reader.width}x{reader.height} @ "
+          f"{reader.fps:.1f} fps, {reader.frame_count or '?'} frames)")
+
+    # webcam / display: chunk of 1 keeps latency at one frame
+    chunk = 1 if (reader.is_webcam or args.show_display) else args.chunk_size
+
+    # --- pipeline --------------------------------------------------------------
+    print("Initializing TPU tracking pipeline...")
+    pipeline = TrackingPipeline(
+        variant=args.variant,
+        conf_threshold=args.conf_thresh,
+        yolo_weights=args.yolo_weights,
+        reid_weights=args.reid_weights,
+        chunk_size=chunk,
+    )
+    print("Compiling fused detect+track step (cached after first run)...")
+    secs = pipeline.warm_up((reader.height, reader.width))
+    print(f"  ready in {secs:.1f}s")
+
+    # --- video output -----------------------------------------------------------
+    writer = None
+    if not args.no_save:
+        name = args.output_filename or (
+            f"{source_name}_tracked_{datetime.now():%Y%m%d_%H%M%S}.mp4")
+        writer = VideoWriter(str(Path(args.output_dir) / name),
+                             reader.fps or config.DEFAULT_OUTPUT_FPS,
+                             (reader.height, reader.width))
+        print(f"Saving to: {writer.path}")
+
+    show = args.show_display
+    if show:
+        import cv2
+        cv2.namedWindow("AICamera-TPU", cv2.WINDOW_NORMAL)
+
+    # keep frames around for drawing (results arrive one chunk behind)
+    frame_store: dict[int, np.ndarray] = {}
+
+    def indexed_frames():
+        for i, f in enumerate(reader.frames()):
+            frame_store[i] = f
+            yield f
+
+    n_frames = 0
+    n_tracks_total = 0
+    t_start = time.perf_counter()
+    t_compute = 0.0
+    try:
+        t0 = time.perf_counter()
+        for result in pipeline.process_frames(indexed_frames()):
+            t_compute += time.perf_counter() - t0
+            frame = frame_store.pop(result.frame_index)
+            n_frames += 1
+            n_tracks_total += len(result.tracks)
+
+            if writer is not None or show:
+                vis = frame
+                if args.draw_detections:
+                    vis = visualization.draw_detections(
+                        vis, result.det_boxes, result.det_scores,
+                        result.det_labels)
+                vis = visualization.draw_tracks(vis, result.tracks)
+                fps_now = n_frames / max(t_compute, 1e-9)
+                vis = visualization.draw_info_panel(vis, [
+                    "AICamera-TPU",
+                    f"Input: {source_name}",
+                    f"FPS: {fps_now:.1f}",
+                    f"Tracks: {len(result.tracks)}",
+                ])
+                if writer is not None:
+                    writer.write(vis)
+                if show:
+                    import cv2
+                    cv2.imshow("AICamera-TPU", vis)
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        break
+            if n_frames % 100 == 0:
+                print(f"  processed {n_frames} frames "
+                      f"({n_frames / max(t_compute, 1e-9):.1f} FPS)")
+            t0 = time.perf_counter()
+    except KeyboardInterrupt:
+        print("\nInterrupted — shutting down cleanly.")
+    finally:
+        reader.release()
+        if writer is not None:
+            writer.release()
+        if show:
+            import cv2
+            cv2.destroyAllWindows()
+
+    wall = time.perf_counter() - t_start
+    print("-" * 60)
+    print(f"Processed {n_frames} frames in {wall:.2f}s wall "
+          f"({n_frames / max(wall, 1e-9):.1f} FPS incl. decode+draw; "
+          f"{n_frames / max(t_compute, 1e-9):.1f} FPS detect+track)")
+    print(f"Average tracks per frame: "
+          f"{n_tracks_total / max(n_frames, 1):.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Batched multi-stream tracking, sharded across chips over a device mesh.
+
+Design (BASELINE.json config 4: "8x 720p streams with batched ReID crops"):
+
+- Every stream keeps an independent ``TrackerState``; states are stacked on
+  a leading ``stream`` axis and the whole tracker step is ``jax.vmap``-ed
+  over it (the association while-loops vectorize across streams).
+- Detection work for all streams rides the batch axis of one YOLOv8
+  forward — S streams x K frames fold into one (S*K) conv batch that keeps
+  the MXU saturated.
+- Scale-out: a 1-D ``Mesh(('stream',))``; frames and tracker states are
+  sharded on the stream axis (``NamedSharding``), model params replicated.
+  Since tracking state never crosses streams, XLA inserts **no collectives**
+  on the hot path — each chip runs its shard of streams independently over
+  ICI-free compute. This is the TPU-idiomatic replacement for the
+  reference's absent multi-GPU path (SURVEY.md §2 parallelism accounting).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import config
+from ..core import state as core_state
+from ..core import tracker as core_tracker
+from ..core.state import Detections, TrackerParams
+from ..models.yolov8 import decode_predictions
+from ..ops.crops import extract_reid_crops
+from ..ops.nms import batched_nms
+from ..ops.preprocess import letterbox_spec, preprocess_yolo, scale_boxes_back
+from ..runtime.params import resolve_reid_params, resolve_yolo_params
+
+
+def make_stream_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over available devices with a single 'stream' axis."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("stream",))
+
+
+class MultiStreamPipeline:
+    """Detect+track S independent streams per step, sharded over a mesh.
+
+    Args:
+        n_streams: number of parallel video streams (divisible by mesh size).
+        mesh: device mesh with a 'stream' axis; None = single device.
+    """
+
+    def __init__(self,
+                 n_streams: int,
+                 frame_hw: Tuple[int, int],
+                 mesh: Mesh | None = None,
+                 variant: str = "n",
+                 input_shape: Tuple[int, int] = config.YOLO_INPUT_SHAPE,
+                 conf_threshold: float = config.YOLO_CONF_THRESHOLD,
+                 nms_threshold: float = config.YOLO_NMS_THRESHOLD,
+                 min_detection_confidence: float = config.DEEPSORT_MIN_CONFIDENCE,
+                 tracker_params: TrackerParams | None = None,
+                 max_reid_crops: int = config.MAX_REID_CROPS):
+        self.n_streams = int(n_streams)
+        self.frame_hw = tuple(frame_hw)
+        self.mesh = mesh
+        self.input_shape = tuple(input_shape)
+        self.conf_threshold = float(conf_threshold)
+        self.nms_threshold = float(nms_threshold)
+        self.min_detection_confidence = float(min_detection_confidence)
+        self.max_reid_crops = int(max_reid_crops)
+        self.yolo, self.yolo_params = resolve_yolo_params(variant)
+        self.reid, self.reid_params = resolve_reid_params()
+        self.tracker_params = tracker_params or TrackerParams(
+            max_tracks=config.MAX_TRACKS,
+            max_detections=config.MAX_DETECTIONS,
+            feature_dim=config.REID_FEATURE_DIM)
+        self._track_class_ids = jnp.asarray(
+            config.CLASS_IDS_TO_TRACK, jnp.int32)
+
+        # per-stream tracker states stacked on the leading stream axis
+        states = jax.vmap(
+            lambda _: core_state.init_state(self.tracker_params)
+        )(jnp.arange(self.n_streams))
+        if mesh is not None:
+            state_sharding = jax.tree.map(
+                lambda _: NamedSharding(mesh, P("stream")), states)
+            states = jax.device_put(states, state_sharding)
+            self._frames_sharding = NamedSharding(mesh, P("stream"))
+            self._replicated = NamedSharding(mesh, P())
+            self.yolo_params = jax.device_put(self.yolo_params,
+                                              self._replicated)
+            self.reid_params = jax.device_put(self.reid_params,
+                                              self._replicated)
+        else:
+            self._frames_sharding = None
+        self.states = states
+        self._step = self._build_step()
+
+    def _build_step(self):
+        spec = letterbox_spec(self.frame_hw, self.input_shape)
+        p = self.tracker_params
+        n_det = p.max_detections
+        n_crops = self.max_reid_crops
+        s = self.n_streams
+
+        def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
+                             feats, crop_valid):
+            d_feats = jnp.zeros((n_det, p.feature_dim), jnp.float32)
+            d_feats = d_feats.at[:n_crops].set(feats.astype(jnp.float32))
+            d_hasfeat = jnp.zeros((n_det,), jnp.bool_).at[:n_crops].set(
+                crop_valid & d_valid[:n_crops])
+            tlwh = jnp.concatenate(
+                [d_xyxy[:, :2], d_xyxy[:, 2:] - d_xyxy[:, :2]], axis=-1)
+            dets = Detections(tlwh=tlwh, conf=d_conf, class_id=d_cls,
+                              feature=d_feats, has_feature=d_hasfeat,
+                              valid=d_valid)
+            state = core_tracker.predict(state, p)
+            state = core_tracker.update(state, dets, p)
+            return state, core_tracker.get_outputs(state)
+
+        def compact_dets(num, boxes, scores, labels):
+            present = jnp.arange(boxes.shape[0]) < num
+            det_valid = present & (scores >= self.conf_threshold)
+            trackable = jnp.any(
+                labels[:, None] == self._track_class_ids[None, :], axis=1)
+            elig = det_valid & trackable & \
+                (scores >= self.min_detection_confidence)
+            rank = jnp.cumsum(elig) - 1
+            slot = jnp.where(elig & (rank < n_det), rank, n_det)
+
+            def compact(vals):
+                arr = jnp.zeros((n_det + 1,) + vals.shape[1:], vals.dtype)
+                return arr.at[slot].set(vals)[:n_det]
+
+            return (compact(boxes), compact(scores),
+                    compact(labels.astype(jnp.int32)), compact(elig))
+
+        def step(yolo_params, reid_params, states, frames):
+            # frames: (S, H, W, 3) uint8 — one frame per stream per step
+            x = jax.vmap(
+                lambda f: preprocess_yolo(f, spec, out_dtype=jnp.bfloat16)[0]
+            )(frames)
+            levels = self.yolo.apply(yolo_params, x)  # batch = streams
+            boxes_lb, scores = decode_predictions(levels, self.input_shape)
+            num, nboxes, nscores, nlabels = batched_nms(
+                boxes_lb, scores,
+                score_threshold=config.YOLO_NMS_SCORE_THRESHOLD,
+                iou_threshold=self.nms_threshold,
+                top_k=config.YOLO_NMS_TOPK,
+                max_det=config.YOLO_MAX_DETECTIONS)
+            boxes_f = jax.vmap(lambda b: scale_boxes_back(b, spec))(nboxes)
+            d_xyxy, d_conf, d_cls, d_valid = jax.vmap(compact_dets)(
+                num, boxes_f, nscores, nlabels)
+
+            crops, crop_valid = jax.vmap(
+                lambda fr, bx: extract_reid_crops(
+                    fr, bx, out_hw=config.REID_INPUT_SHAPE)
+            )(frames, d_xyxy[:, :n_crops])
+            feats = self.reid.apply(
+                reid_params, crops.reshape(s * n_crops, *crops.shape[2:]))
+            feats = feats.reshape(s, n_crops, -1)
+
+            states, outs = jax.vmap(per_stream_track)(
+                states, d_xyxy, d_conf, d_cls, d_valid, feats, crop_valid)
+            return states, outs
+
+        if self.mesh is not None:
+            in_shardings = (
+                self._replicated,  # yolo params (pytree prefix)
+                self._replicated,  # reid params
+                jax.tree.map(lambda _: NamedSharding(self.mesh, P("stream")),
+                             self.states),
+                self._frames_sharding,
+            )
+            return jax.jit(step, in_shardings=in_shardings,
+                           donate_argnums=(2,))
+        return jax.jit(step, donate_argnums=(2,))
+
+    def step(self, frames: np.ndarray):
+        """Advance all streams by one frame each.
+
+        Args:
+            frames: ``(S, H, W, 3)`` uint8 BGR — one frame per stream.
+
+        Returns:
+            per-stream track outputs (tlbr, ids, cls, conf, mask), each with
+            a leading stream axis (device arrays, async).
+        """
+        frames = jnp.asarray(frames)
+        if self._frames_sharding is not None:
+            frames = jax.device_put(frames, self._frames_sharding)
+        self.states, outs = self._step(
+            self.yolo_params, self.reid_params, self.states, frames)
+        return outs

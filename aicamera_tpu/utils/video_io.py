@@ -1,0 +1,110 @@
+"""Video I/O: threaded decode-ahead reader and writer.
+
+The reference reads frames synchronously in the hot loop
+(``aicamera_tracker.py:169-170``) and writes synchronously (:236). Here
+decode runs in a background thread feeding a bounded queue so cv2's ffmpeg
+work overlaps the TPU chunk dispatch (the "double-buffered host I/O" from
+the north star), and writing likewise drains from a queue.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from .. import config
+
+
+class VideoReader:
+    """Threaded frame reader over a file or webcam."""
+
+    def __init__(self, source, queue_depth: int = 64,
+                 max_frames: Optional[int] = None):
+        if isinstance(source, int):
+            self.cap = cv2.VideoCapture(source)
+            self.is_webcam = True
+        else:
+            if not Path(str(source)).exists():
+                raise FileNotFoundError(f"Input video not found: {source}")
+            self.cap = cv2.VideoCapture(str(source))
+            self.is_webcam = False
+        if not self.cap.isOpened():
+            raise RuntimeError(f"Could not open video source: {source}")
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or config.DEFAULT_OUTPUT_FPS
+        self.width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+        self.max_frames = max_frames
+        self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
+        self._thread = threading.Thread(target=self._decode_loop, daemon=True)
+        self._stopped = threading.Event()
+        self._thread.start()
+
+    def _decode_loop(self):
+        n = 0
+        while not self._stopped.is_set():
+            if self.max_frames is not None and n >= self.max_frames:
+                break
+            ok, frame = self.cap.read()
+            if not ok:
+                break
+            self._q.put(frame)
+            n += 1
+        self._q.put(None)  # sentinel
+
+    def frames(self) -> Iterator[np.ndarray]:
+        while True:
+            frame = self._q.get()
+            if frame is None:
+                return
+            yield frame
+
+    def release(self):
+        self._stopped.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+        self.cap.release()
+
+
+class VideoWriter:
+    """Threaded mp4 writer (mp4v, falling back to XVID/avi like the
+    reference, aicamera_tracker.py:138-156)."""
+
+    def __init__(self, path: str, fps: float, frame_hw: Tuple[int, int]):
+        h, w = frame_hw
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        self.writer = cv2.VideoWriter(str(path), fourcc, fps, (w, h))
+        if not self.writer.isOpened():
+            path = path.with_suffix(".avi")
+            fourcc = cv2.VideoWriter_fourcc(*"XVID")
+            self.writer = cv2.VideoWriter(str(path), fourcc, fps, (w, h))
+        self.path = path
+        self._q: queue.Queue = queue.Queue(maxsize=128)
+        self._thread = threading.Thread(target=self._write_loop, daemon=True)
+        self._thread.start()
+
+    def _write_loop(self):
+        while True:
+            frame = self._q.get()
+            if frame is None:
+                return
+            self.writer.write(frame)
+
+    def write(self, frame: np.ndarray):
+        self._q.put(frame)
+
+    def release(self):
+        self._q.put(None)
+        self._thread.join(timeout=10.0)
+        self.writer.release()
