@@ -62,6 +62,11 @@ def _nms_single(boxes, scores_cls, score_threshold, iou_threshold,
 
     # Emit the top max_det kept candidates (already score-ordered).
     order_score = jnp.where(kept, k_score, -1.0)
+    if max_det > top_k:  # more output slots than candidates: pad
+        order_score = jnp.pad(order_score, (0, max_det - top_k),
+                              constant_values=-1.0)
+        k_boxes = jnp.pad(k_boxes, ((0, max_det - top_k), (0, 0)))
+        k_cls = jnp.pad(k_cls, (0, max_det - top_k))
     out_score, out_pos = lax.top_k(order_score, max_det)
     out_valid = out_score > 0
     out_boxes = jnp.where(out_valid[:, None], k_boxes[out_pos], 0.0)
@@ -84,6 +89,8 @@ def batched_nms(boxes: jnp.ndarray, scores_cls: jnp.ndarray,
         num_dets ``(B,)``, boxes ``(B, max_det, 4)``, scores ``(B, max_det)``,
         labels ``(B, max_det)`` — the reference engine's output contract.
     """
+    a = boxes.shape[1]
+    top_k = min(top_k, a)  # lax.top_k requires k <= n
     fn = partial(_nms_single, top_k=top_k, max_det=max_det)
     return jax.vmap(fn, in_axes=(0, 0, None, None))(
         boxes, scores_cls,

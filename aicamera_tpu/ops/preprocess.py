@@ -19,6 +19,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+# Resize must be true f32: this environment defaults f32 matmuls to bf16
+# passes, which costs ~1 gray level of error vs cv2.
+_PRECISION = lax.Precision.HIGHEST
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,8 +86,8 @@ def preprocess_yolo(frame_bgr_u8: jnp.ndarray, spec: LetterboxSpec,
     if (uh, uw) != spec.src_hw:
         wy = jnp.asarray(_resize_weights(uh, spec.src_hw[0]))
         wx = jnp.asarray(_resize_weights(uw, spec.src_hw[1]))
-        x = jnp.einsum("oh,hwc->owc", wy, x)
-        x = jnp.einsum("pw,owc->opc", wx, x)
+        x = jnp.einsum("oh,hwc->owc", wy, x, precision=_PRECISION)
+        x = jnp.einsum("pw,owc->opc", wx, x, precision=_PRECISION)
         # cv2 resizes in uint8 fixed-point and rounds; emulate the rounding
         x = jnp.clip(jnp.round(x), 0.0, 255.0)
     canvas = jnp.full((dh, dw, 3), 114.0, jnp.float32)

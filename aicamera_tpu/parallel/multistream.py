@@ -32,6 +32,7 @@ from ..core.state import Detections, TrackerParams
 from ..models.yolov8 import decode_predictions
 from ..ops.crops import extract_reid_crops
 from ..ops.nms import batched_nms
+from ..ops.pallas_preprocess import preprocess_yolo_pallas
 from ..ops.preprocess import letterbox_spec, preprocess_yolo, scale_boxes_back
 from ..runtime.params import resolve_reid_params, resolve_yolo_params
 
@@ -62,7 +63,8 @@ class MultiStreamPipeline:
                  nms_threshold: float = config.YOLO_NMS_THRESHOLD,
                  min_detection_confidence: float = config.DEEPSORT_MIN_CONFIDENCE,
                  tracker_params: TrackerParams | None = None,
-                 max_reid_crops: int = config.MAX_REID_CROPS):
+                 max_reid_crops: int = config.MAX_REID_CROPS,
+                 preprocess_impl: str = "auto"):
         self.n_streams = int(n_streams)
         self.frame_hw = tuple(frame_hw)
         self.mesh = mesh
@@ -71,6 +73,13 @@ class MultiStreamPipeline:
         self.nms_threshold = float(nms_threshold)
         self.min_detection_confidence = float(min_detection_confidence)
         self.max_reid_crops = int(max_reid_crops)
+        import jax as _jax
+        if preprocess_impl == "auto":
+            preprocess_impl = ("pallas" if _jax.default_backend() == "tpu"
+                               else "xla")
+        self._preprocess = (preprocess_yolo_pallas
+                            if preprocess_impl == "pallas"
+                            else preprocess_yolo)
         self.yolo, self.yolo_params = resolve_yolo_params(variant)
         self.reid, self.reid_params = resolve_reid_params()
         self.tracker_params = tracker_params or TrackerParams(
@@ -141,7 +150,7 @@ class MultiStreamPipeline:
         def step(yolo_params, reid_params, states, frames):
             # frames: (S, H, W, 3) uint8 — one frame per stream per step
             x = jax.vmap(
-                lambda f: preprocess_yolo(f, spec, out_dtype=jnp.bfloat16)[0]
+                lambda f: self._preprocess(f, spec, out_dtype=jnp.bfloat16)[0]
             )(frames)
             levels = self.yolo.apply(yolo_params, x)  # batch = streams
             boxes_lb, scores = decode_predictions(levels, self.input_shape)

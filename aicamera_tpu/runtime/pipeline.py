@@ -39,6 +39,7 @@ from ..core.state import Detections, TrackerParams
 from ..models.yolov8 import decode_predictions
 from ..ops.crops import extract_reid_crops
 from ..ops.nms import batched_nms
+from ..ops.pallas_preprocess import preprocess_yolo_pallas
 from ..ops.preprocess import letterbox_spec, preprocess_yolo, scale_boxes_back
 from .engine import enable_persistent_cache
 from .params import resolve_reid_params, resolve_yolo_params
@@ -79,6 +80,7 @@ class TrackingPipeline:
                  tracker_params: TrackerParams | None = None,
                  max_reid_crops: int = config.MAX_REID_CROPS,
                  chunk_size: int = 8,
+                 preprocess_impl: str = "auto",
                  with_reid: bool = True):
         enable_persistent_cache()
         self.input_shape = tuple(input_shape)
@@ -87,6 +89,13 @@ class TrackingPipeline:
         self.min_detection_confidence = float(min_detection_confidence)
         self.max_reid_crops = int(max_reid_crops)
         self.chunk_size = int(chunk_size)
+        import jax as _jax
+        if preprocess_impl == "auto":
+            preprocess_impl = ("pallas" if _jax.default_backend() == "tpu"
+                               else "xla")
+        self._preprocess = (preprocess_yolo_pallas
+                            if preprocess_impl == "pallas"
+                            else preprocess_yolo)
         self.with_reid = with_reid
         self.yolo, self.yolo_params = resolve_yolo_params(
             variant, weights_path=yolo_weights)
@@ -119,7 +128,7 @@ class TrackingPipeline:
         def detect_batch(yolo_params, frames):
             """Batched detection over the chunk: (K,H,W,3)u8 -> NMS outs."""
             x = jax.vmap(
-                lambda f: preprocess_yolo(f, spec, out_dtype=jnp.bfloat16)[0]
+                lambda f: self._preprocess(f, spec, out_dtype=jnp.bfloat16)[0]
             )(frames)  # (K, Dh, Dw, 3)
             levels = self.yolo.apply(yolo_params, x)
             boxes_lb, scores = decode_predictions(levels, self.input_shape)
