@@ -4,25 +4,25 @@ One kernel pass fuses everything the reference does on the host with cv2
 (``image_processing.py:73-102``: bilinear resize, 114-padding, BGR->RGB,
 /255 normalize, dtype convert) and that the XLA path does as several ops:
 
-- **vertical resample** as a per-output-row two-tap blend (VPU),
-- **horizontal resample** as one matmul against a precomputed (src_w,
-  dst_w) bilinear weight matrix (MXU),
+- **both resample passes as MXU matmuls** against precomputed bilinear
+  weight matrices — (tile, src_h) @ (src_h, src_w) vertical, then
+  (tile, src_w) @ (src_w, dst_w) horizontal,
 - pad region fill, BGR->RGB (grid channel remap), and [0,1] normalization
-  in the epilogue — no f32 full-frame intermediate ever touches HBM.
+  in the fused epilogue (VPU) — no full-frame f32 intermediate in HBM.
 
 Input is the raw uint8 BGR frame; output is the planar (3, dst, dst)
-normalized RGB tensor (transposed to NHWC by XLA afterwards — a free
-layout change compared to the gather-heavy resize it replaces).
+normalized RGB tensor (transposed to NHWC by XLA afterwards).
 
-Grid: (channels, row-tiles). Each program letterboxes an 8-row strip of
-one output channel. The whole source plane sits in VMEM (a 540x960 uint8
-plane is 0.5 MB; VMEM is ~16 MB).
+Grid: (channels, row-tiles of 64 output rows). The whole source plane and
+both weight matrices sit in VMEM; frames too large for the f32 budget
+stage in bf16, and frames too large for even that fall back to the XLA
+path with identical semantics.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
@@ -105,13 +105,30 @@ def preprocess_yolo_pallas(frame_bgr_u8: jnp.ndarray, spec: LetterboxSpec,
     dst_h, dst_w = spec.dst_hw
     assert dst_h % _ROW_TILE == 0
 
+    # VMEM budget check: the whole source plane + both weight matrices live
+    # in VMEM (~16 MB/core). Large frames stage in bf16; frames too big even
+    # for bf16 fall back to the XLA path (identical semantics).
+    def vmem_bytes(itemsize):
+        return itemsize * (src_h * src_w            # source plane
+                           + src_w * dst_w          # wx
+                           + _ROW_TILE * src_h      # wy tile
+                           + 2 * _ROW_TILE * dst_w)  # out + slack
+
+    if vmem_bytes(4) <= 13 * 2**20:
+        stage_dtype = jnp.float32
+    elif vmem_bytes(2) <= 13 * 2**20:
+        stage_dtype = jnp.bfloat16
+    else:
+        from .preprocess import preprocess_yolo
+        return preprocess_yolo(frame_bgr_u8, spec, out_dtype)
+
     wy, inside_y = _vertical_weights(spec)
     wx, inside_x = _horizontal_weights(spec)
 
     # BGR -> RGB: planar with channels reversed. Mosaic cannot do
     # single-row dynamic loads from uint8 (32-sublane) tiles, so the
-    # planes enter the kernel as f32 (XLA fuses the convert+transpose).
-    planes = frame_bgr_u8.transpose(2, 0, 1)[::-1].astype(jnp.float32)
+    # planes enter the kernel as f32/bf16 (XLA fuses the convert+transpose).
+    planes = frame_bgr_u8.transpose(2, 0, 1)[::-1].astype(stage_dtype)
 
     grid = (3, dst_h // _ROW_TILE)
     out = pl.pallas_call(
@@ -133,7 +150,8 @@ def preprocess_yolo_pallas(frame_bgr_u8: jnp.ndarray, spec: LetterboxSpec,
                                lambda c, t: (c, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, dst_h, dst_w), out_dtype),
-    )(planes, jnp.asarray(wy), jnp.asarray(wx),
+    )(planes, jnp.asarray(wy, stage_dtype),
+      jnp.asarray(wx, stage_dtype),
       jnp.asarray(inside_y).reshape(1, dst_h, 1),
       jnp.asarray(inside_x).reshape(1, 1, dst_w))
     return out.transpose(1, 2, 0)[None]  # (1, Dh, Dw, 3) NHWC

@@ -1,0 +1,41 @@
+"""Tracker-state checkpoint/resume (capability the reference lacks).
+
+The reference has no persistence at all — tracker state is in-memory and
+reset per run (SURVEY.md §5: checkpoint/resume "None"). Here the whole
+:class:`TrackerState` pytree (Kalman bank, galleries, lifecycle counters,
+id counter) serializes to a single msgpack file, so long-running streams
+survive process restarts with track identities intact, and multi-stream
+stacked states snapshot the same way.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..core.state import TrackerParams, TrackerState, init_state
+
+
+def save_state(path: str | Path, state: TrackerState) -> None:
+    """Serialize a TrackerState (single- or multi-stream) to msgpack."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    host_state = jax.device_get(state)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+
+
+def load_state(path: str | Path, params: TrackerParams,
+               n_streams: int | None = None) -> TrackerState:
+    """Load a TrackerState; shapes must match the given params."""
+    template = init_state(params)
+    if n_streams is not None:
+        template = jax.tree.map(
+            lambda x: np.broadcast_to(
+                np.asarray(x)[None], (n_streams,) + np.asarray(x).shape).copy(),
+            template)
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())

@@ -6,9 +6,17 @@ as a stand-in for a TPU mesh.
 """
 
 import os
+from pathlib import Path
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compile cache: CPU conv compiles take ~7s each in this
+# environment; the cache makes repeat suite runs compile-free.
+_cache = Path.home() / ".cache" / "aicamera_tpu" / "xla_cache_tests"
+_cache.mkdir(parents=True, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
