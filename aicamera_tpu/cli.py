@@ -12,6 +12,7 @@ Run: ``python -m aicamera_tpu.cli --input video.mp4``
 from __future__ import annotations
 
 import argparse
+import contextlib
 import time
 from datetime import datetime
 from pathlib import Path
@@ -60,6 +61,8 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                         help="Stop after this many frames.")
     parser.add_argument("--draw_detections", action="store_true",
                         help="Also draw raw detections under the tracks.")
+    parser.add_argument("--profile", action="store_true",
+                        help="Print a per-stage timing breakdown at exit.")
     return parser.parse_args(argv)
 
 
@@ -119,6 +122,9 @@ def main(argv=None):
             frame_store[i] = f
             yield f
 
+    from .runtime.profiler import StageTimer
+    timer = StageTimer() if args.profile else None
+
     n_frames = 0
     n_tracks_total = 0
     t_start = time.perf_counter()
@@ -126,32 +132,43 @@ def main(argv=None):
     try:
         t0 = time.perf_counter()
         for result in pipeline.process_frames(indexed_frames()):
-            t_compute += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            t_compute += dt
+            if timer:
+                timer.add("detect+track", dt)
             frame = frame_store.pop(result.frame_index)
             n_frames += 1
             n_tracks_total += len(result.tracks)
 
-            if writer is not None or show:
-                vis = frame
-                if args.draw_detections:
-                    vis = visualization.draw_detections(
-                        vis, result.det_boxes, result.det_scores,
-                        result.det_labels)
-                vis = visualization.draw_tracks(vis, result.tracks)
-                fps_now = n_frames / max(t_compute, 1e-9)
-                vis = visualization.draw_info_panel(vis, [
-                    "AICamera-TPU",
-                    f"Input: {source_name}",
-                    f"FPS: {fps_now:.1f}",
-                    f"Tracks: {len(result.tracks)}",
-                ])
-                if writer is not None:
-                    writer.write(vis)
-                if show:
-                    import cv2
-                    cv2.imshow("AICamera-TPU", vis)
-                    if cv2.waitKey(1) & 0xFF == ord("q"):
-                        break
+            # per-frame presentation errors skip the frame but keep the
+            # pipeline alive (reference aicamera_tracker.py:181-198)
+            try:
+                if writer is not None or show:
+                    vis = frame
+                    if args.draw_detections:
+                        vis = visualization.draw_detections(
+                            vis, result.det_boxes, result.det_scores,
+                            result.det_labels)
+                    vis = visualization.draw_tracks(vis, result.tracks)
+                    fps_now = n_frames / max(t_compute, 1e-9)
+                    vis = visualization.draw_info_panel(vis, [
+                        "AICamera-TPU",
+                        f"Input: {source_name}",
+                        f"FPS: {fps_now:.1f}",
+                        f"Tracks: {len(result.tracks)}",
+                    ])
+                    with (timer.stage("draw+write") if timer
+                          else contextlib.nullcontext()):
+                        if writer is not None:
+                            writer.write(vis)
+                        if show:
+                            import cv2
+                            cv2.imshow("AICamera-TPU", vis)
+                            if cv2.waitKey(1) & 0xFF == ord("q"):
+                                break
+            except Exception as e:  # noqa: BLE001
+                print(f"Warning: frame {result.frame_index} "
+                      f"presentation error ({e}); continuing.")
             if n_frames % 100 == 0:
                 print(f"  processed {n_frames} frames "
                       f"({n_frames / max(t_compute, 1e-9):.1f} FPS)")
@@ -173,6 +190,8 @@ def main(argv=None):
           f"{n_frames / max(t_compute, 1e-9):.1f} FPS detect+track)")
     print(f"Average tracks per frame: "
           f"{n_tracks_total / max(n_frames, 1):.1f}")
+    if timer:
+        print(timer.report())
 
 
 if __name__ == "__main__":

@@ -44,6 +44,9 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
     global _CACHE_INITIALIZED
     if _CACHE_INITIALIZED:
         return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        _CACHE_INITIALIZED = True  # already configured (e.g. by conftest)
+        return
     cache_dir = cache_dir or os.environ.get(
         "AICAMERA_COMPILE_CACHE",
         str(Path.home() / ".cache" / "aicamera_tpu" / "xla_cache"))
