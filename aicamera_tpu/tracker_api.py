@@ -211,3 +211,25 @@ class DeepSORT:
                         int(round(float(b[2]))), int(round(float(b[3]))),
                         int(i), name, float(s)))
         return out
+
+
+if __name__ == "__main__":
+    # inline lifecycle smoke test, reference-style
+    # (deepsort_tracker.py:203-345): 4-frame scenario through the facade
+    print("--- DeepSORT facade smoke test ---")
+    ds = DeepSORT(n_init=2, max_age=5)
+    frame = np.zeros((480, 640, 3), np.uint8)
+    frame[100:200, 50:150] = 128  # a gray "person"
+    box = np.array([[50.0, 100.0, 150.0, 200.0]], np.float32)
+
+    out1 = ds.update(box, np.array([0.9]), np.array([0]), frame)
+    assert out1 == [], "first sighting must be tentative"
+    out2 = ds.update(box + 3, np.array([0.92]), np.array([0]), frame)
+    assert len(out2) == 1 and out2[0][4] == 1, out2
+    print("frame 2 confirmed:", out2)
+    out3 = ds.update(np.zeros((0, 4)), np.zeros(0), np.zeros(0), frame)
+    assert out3 == [], "missed frame emits nothing"
+    out4 = ds.update(box + 6, np.array([0.95]), np.array([0]), frame)
+    assert len(out4) == 1 and out4[0][4] == 1, "same id after a miss"
+    print("frame 4 reacquired:", out4)
+    print("--- PASSED ---")
