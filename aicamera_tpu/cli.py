@@ -70,7 +70,7 @@ def main(argv=None):
     args = parse_arguments(argv)
     if args.device.lower() == "cpu":
         import os
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     # import after the backend env var is settled
     from .runtime.pipeline import TrackingPipeline

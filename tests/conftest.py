@@ -8,7 +8,10 @@ as a stand-in for a TPU mesh.
 import os
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: this shell exports JAX_PLATFORMS=axon (the real TPU), and a
+# setdefault would silently leave tests running on — and contending for —
+# the single TPU chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
