@@ -12,6 +12,8 @@
 """
 
 from .engine import XLAEngine, TensorInfo
-from .pipeline import TrackingPipeline
+from .pipeline import TrackingPipeline, FrameResult
+from .checkpoint import save_state, load_state
 
-__all__ = ["XLAEngine", "TensorInfo", "TrackingPipeline"]
+__all__ = ["XLAEngine", "TensorInfo", "TrackingPipeline", "FrameResult",
+           "save_state", "load_state"]

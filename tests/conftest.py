@@ -8,9 +8,10 @@ as a stand-in for a TPU mesh.
 import os
 from pathlib import Path
 
-# FORCE cpu: this shell exports JAX_PLATFORMS=axon (the real TPU), and a
-# setdefault would silently leave tests running on — and contending for —
-# the single TPU chip.
+# FORCE cpu: this environment's axon TPU plugin overrides the
+# JAX_PLATFORMS env var, so the only reliable switch is the config update
+# below (before any backend initialization). Without it, "CPU" tests
+# silently run on — and contend for — the single TPU chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -23,3 +24,7 @@ _cache = Path.home() / ".cache" / "aicamera_tpu" / "xla_cache_tests"
 _cache.mkdir(parents=True, exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

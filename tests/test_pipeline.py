@@ -140,3 +140,29 @@ def test_checkpoint_roundtrip(tmp_path, pipeline):
     for a, b in zip(jax.tree.leaves(pipeline.state),
                     jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reid_model_facade_batched_extraction():
+    """Reference reid_model.py inline-test parity (:128-236): batched
+    shapes/dtype, empty list, mixed valid/invalid crops, all-invalid."""
+    from aicamera_tpu.tracker_api import ReIDModel
+    rm = ReIDModel()
+    rng = np.random.RandomState(0)
+    crops = [rng.randint(0, 256, (50, 25, 3), np.uint8),
+             np.array([]),                       # invalid (empty)
+             rng.randint(0, 256, (80, 40, 3), np.uint8)]
+    feats = rm.extract_features_batched(crops)
+    assert feats.shape == (3, rm.feature_dim)
+    assert feats.dtype == np.float32
+    # valid crops give L2-normalized features; invalid ones give zeros
+    assert np.linalg.norm(feats[0]) == pytest.approx(1.0, abs=1e-3)
+    assert np.linalg.norm(feats[1]) == 0.0
+    assert np.linalg.norm(feats[2]) == pytest.approx(1.0, abs=1e-3)
+    # empty list
+    assert rm.extract_features_batched([]).shape == (0, rm.feature_dim)
+    # all-invalid
+    out = rm.extract_features_batched([np.array([]), np.zeros((0, 5, 3))])
+    assert out.shape == (2, rm.feature_dim) and (out == 0).all()
+    # deterministic across calls (unlike the reference's np.random mock)
+    again = rm.extract_features_batched(crops)
+    np.testing.assert_array_equal(feats, again)
