@@ -166,14 +166,35 @@ class TrackingPipeline:
                 num, boxes_f, scores, labels)  # (K, n_det, ...)
 
             if with_reid:
-                crops, crop_valid = jax.vmap(
-                    lambda fr, bx: extract_reid_crops(
-                        fr, bx, out_hw=config.REID_INPUT_SHAPE)
-                )(frames, d_xyxy[:, :n_crops])  # (K, n_crops, 128, 64, 3)
-                feats = self.reid.apply(
-                    reid_params,
-                    crops.reshape(k * n_crops, *crops.shape[2:]))
-                feats = feats.reshape(k, n_crops, -1).astype(jnp.float32)
+                # Load-adaptive crop bucketing (the analog of the reference
+                # TRT engine's dynamic batch 1..8, export_trt_engines.sh:
+                # 32-34): embed only as many crop slots as the busiest frame
+                # in the chunk needs, via static-size branches. Detections
+                # are compacted to the front of their slots, so a bucket
+                # covering the per-frame maximum preserves semantics exactly.
+                buckets = [b for b in (8, 16) if b < n_crops] + [n_crops]
+                n_needed = jnp.max(jnp.sum(d_valid[:, :n_crops], axis=1))
+
+                def make_branch(b):
+                    def branch(_):
+                        crops, crop_valid = jax.vmap(
+                            lambda fr, bx: extract_reid_crops(
+                                fr, bx, out_hw=config.REID_INPUT_SHAPE)
+                        )(frames, d_xyxy[:, :b])  # (K, b, 128, 64, 3)
+                        feats = self.reid.apply(
+                            reid_params,
+                            crops.reshape(k * b, *crops.shape[2:]))
+                        feats = feats.reshape(k, b, -1).astype(jnp.float32)
+                        fpad = jnp.zeros((k, n_crops, p.feature_dim),
+                                         jnp.float32).at[:, :b].set(feats)
+                        vpad = jnp.zeros((k, n_crops), jnp.bool_).at[
+                            :, :b].set(crop_valid)
+                        return fpad, vpad
+                    return branch
+
+                idx = sum(jnp.int32(n_needed > b) for b in buckets[:-1])
+                feats, crop_valid = jax.lax.switch(
+                    idx, [make_branch(b) for b in buckets], operand=None)
                 d_feats = jnp.zeros((k, n_det, p.feature_dim), jnp.float32)
                 d_feats = d_feats.at[:, :n_crops].set(feats)
                 d_hasfeat = jnp.zeros((k, n_det), jnp.bool_).at[:, :n_crops].set(
