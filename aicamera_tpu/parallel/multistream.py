@@ -164,13 +164,32 @@ class MultiStreamPipeline:
             d_xyxy, d_conf, d_cls, d_valid = jax.vmap(compact_dets)(
                 num, boxes_f, nscores, nlabels)
 
-            crops, crop_valid = jax.vmap(
-                lambda fr, bx: extract_reid_crops(
-                    fr, bx, out_hw=config.REID_INPUT_SHAPE)
-            )(frames, d_xyxy[:, :n_crops])
-            feats = self.reid.apply(
-                reid_params, crops.reshape(s * n_crops, *crops.shape[2:]))
-            feats = feats.reshape(s, n_crops, -1)
+            # load-adaptive crop bucketing (see runtime/pipeline.py): embed
+            # only as many crop slots as the busiest stream needs. NOTE:
+            # with a sharded mesh this reduces compute uniformly across
+            # chips (the bucket index is a replicated scalar).
+            buckets = [b for b in (8, 16) if b < n_crops] + [n_crops]
+            n_needed = jnp.max(jnp.sum(d_valid[:, :n_crops], axis=1))
+
+            def make_branch(b):
+                def branch(_):
+                    crops, crop_valid = jax.vmap(
+                        lambda fr, bx: extract_reid_crops(
+                            fr, bx, out_hw=config.REID_INPUT_SHAPE)
+                    )(frames, d_xyxy[:, :b])
+                    f = self.reid.apply(
+                        reid_params, crops.reshape(s * b, *crops.shape[2:]))
+                    f = f.reshape(s, b, -1)
+                    fpad = jnp.zeros((s, n_crops, f.shape[-1]),
+                                     f.dtype).at[:, :b].set(f)
+                    vpad = jnp.zeros((s, n_crops), jnp.bool_).at[
+                        :, :b].set(crop_valid)
+                    return fpad, vpad
+                return branch
+
+            idx = sum(jnp.int32(n_needed > b) for b in buckets[:-1])
+            feats, crop_valid = jax.lax.switch(
+                idx, [make_branch(b) for b in buckets], operand=None)
 
             states, outs = jax.vmap(per_stream_track)(
                 states, d_xyxy, d_conf, d_cls, d_valid, feats, crop_valid)
