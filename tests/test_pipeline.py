@@ -166,3 +166,39 @@ def test_reid_model_facade_batched_extraction():
     # deterministic across calls (unlike the reference's np.random mock)
     again = rm.extract_features_batched(crops)
     np.testing.assert_array_equal(feats, again)
+
+
+def test_multistream_states_are_independent():
+    """Per-stream trackers are isolated: ids in every stream start at 1
+    and streams with no detections never advance their id counter."""
+    import jax.numpy as jnp
+    from aicamera_tpu.core import state as core_state
+    from aicamera_tpu.core import tracker as core_tracker
+    from aicamera_tpu.core.state import Detections
+
+    p = SMALL_TP
+    n = 3
+    states = jax.vmap(lambda _: core_state.init_state(p))(jnp.arange(n))
+
+    def per_stream(state, tlwh, valid):
+        d = Detections(
+            tlwh=tlwh, conf=jnp.full((p.max_detections,), 0.9),
+            class_id=jnp.zeros((p.max_detections,), jnp.int32),
+            feature=jnp.zeros((p.max_detections, p.feature_dim)),
+            has_feature=jnp.zeros((p.max_detections,), bool),
+            valid=valid)
+        state = core_tracker.predict(state, p)
+        return core_tracker.update(state, d, p)
+
+    tlwh = np.zeros((n, p.max_detections, 4), np.float32)
+    valid = np.zeros((n, p.max_detections), bool)
+    tlwh[0, 0] = [10, 10, 20, 40]     # stream 0: one object
+    valid[0, 0] = True
+    tlwh[2, :2] = [[10, 10, 20, 40], [100, 100, 20, 40]]  # stream 2: two
+    valid[2, :2] = True
+    step = jax.jit(jax.vmap(per_stream))
+    states = step(states, jnp.asarray(tlwh), jnp.asarray(valid))
+
+    next_ids = np.asarray(states.next_id)
+    assert next_ids.tolist() == [2, 1, 3]  # independent id counters
+    assert np.asarray(states.active).sum(axis=1).tolist() == [1, 0, 2]
