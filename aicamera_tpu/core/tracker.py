@@ -152,7 +152,7 @@ def update(state: TrackerState, dets: Detections,
     init_mean, init_cov = kalman.initiate(tlwh_to_xyah(dets.tlwh))  # (N, ...)
     new_ids = state.next_id + det_rank.astype(jnp.int32)
 
-    def scatter(arr, values, fill_dims=0):
+    def scatter(arr, values):
         """Scatter per-detection values into track slots (index t dropped)."""
         padded = jnp.concatenate(
             [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)], axis=0)

@@ -74,16 +74,8 @@ int lapjv_solve(const float* cost, int nr, int nc, int* col4row) {
             }
         }
 
+        // dual updates (col4row is maintained incrementally in the output)
         u[cur] += min_val;
-        for (int r = 0; r < nr; ++r) {
-            if (sr[r] && r != cur) {
-                // find the column currently assigned to r
-                // (col4row tracked below; compute via row4col inverse)
-                // maintained incrementally in col4row_arr
-            }
-        }
-        // dual updates using col4row (maintained below)
-        // we maintain col4row in the output array incrementally
         for (int r = 0; r < nr; ++r) {
             if (sr[r] && r != cur) {
                 u[r] += min_val - shortest[col4row[r]];
