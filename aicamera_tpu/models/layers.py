@@ -106,4 +106,6 @@ def make_divisible(v: float, divisor: int = 8) -> int:
 
 
 def scale_channels(base: Sequence[int], width: float, max_channels: int):
-    return [min(make_divisible(c * width), max_channels) for c in base]
+    """YOLOv8 channel scaling: the max-channel cap applies BEFORE the
+    width multiple (e.g. m: min(1024, 768)*0.75 = 576, x: 512*1.25 = 640)."""
+    return [make_divisible(min(c, max_channels) * width) for c in base]
