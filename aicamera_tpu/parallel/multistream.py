@@ -106,7 +106,7 @@ class MultiStreamPipeline:
         else:
             self._frames_sharding = None
         self.states = states
-        self._step = self._build_step()
+        self._step, self._chunk_step = self._build_step()
 
     def _build_step(self):
         spec = letterbox_spec(self.frame_hw, self.input_shape)
@@ -147,12 +147,13 @@ class MultiStreamPipeline:
             return (compact(boxes), compact(scores),
                     compact(labels.astype(jnp.int32)), compact(elig))
 
-        def step(yolo_params, reid_params, states, frames):
-            # frames: (S, H, W, 3) uint8 — one frame per stream per step
+        def detect_and_embed(yolo_params, reid_params, frames):
+            """Detect + compact + ReID for a flat batch of frames (B, ...)."""
+            b_total = frames.shape[0]
             x = jax.vmap(
                 lambda f: self._preprocess(f, spec, out_dtype=jnp.bfloat16)[0]
             )(frames)
-            levels = self.yolo.apply(yolo_params, x)  # batch = streams
+            levels = self.yolo.apply(yolo_params, x)
             boxes_lb, scores = decode_predictions(levels, self.input_shape)
             num, nboxes, nscores, nlabels = batched_nms(
                 boxes_lb, scores,
@@ -160,14 +161,14 @@ class MultiStreamPipeline:
                 iou_threshold=self.nms_threshold,
                 top_k=config.YOLO_NMS_TOPK,
                 max_det=config.YOLO_MAX_DETECTIONS)
-            boxes_f = jax.vmap(lambda b: scale_boxes_back(b, spec))(nboxes)
+            boxes_f = jax.vmap(lambda bx: scale_boxes_back(bx, spec))(nboxes)
             d_xyxy, d_conf, d_cls, d_valid = jax.vmap(compact_dets)(
                 num, boxes_f, nscores, nlabels)
 
             # load-adaptive crop bucketing (see runtime/pipeline.py): embed
-            # only as many crop slots as the busiest stream needs. NOTE:
-            # with a sharded mesh this reduces compute uniformly across
-            # chips (the bucket index is a replicated scalar).
+            # only as many crop slots as the busiest frame needs. NOTE: with
+            # a sharded mesh this reduces compute uniformly across chips
+            # (the bucket index is a replicated scalar).
             buckets = [b for b in (8, 16) if b < n_crops] + [n_crops]
             n_needed = jnp.max(jnp.sum(d_valid[:, :n_crops], axis=1))
 
@@ -178,11 +179,12 @@ class MultiStreamPipeline:
                             fr, bx, out_hw=config.REID_INPUT_SHAPE)
                     )(frames, d_xyxy[:, :b])
                     f = self.reid.apply(
-                        reid_params, crops.reshape(s * b, *crops.shape[2:]))
-                    f = f.reshape(s, b, -1)
-                    fpad = jnp.zeros((s, n_crops, f.shape[-1]),
+                        reid_params,
+                        crops.reshape(b_total * b, *crops.shape[2:]))
+                    f = f.reshape(b_total, b, -1)
+                    fpad = jnp.zeros((b_total, n_crops, f.shape[-1]),
                                      f.dtype).at[:, :b].set(f)
-                    vpad = jnp.zeros((s, n_crops), jnp.bool_).at[
+                    vpad = jnp.zeros((b_total, n_crops), jnp.bool_).at[
                         :, :b].set(crop_valid)
                     return fpad, vpad
                 return branch
@@ -190,22 +192,50 @@ class MultiStreamPipeline:
             idx = sum(jnp.int32(n_needed > b) for b in buckets[:-1])
             feats, crop_valid = jax.lax.switch(
                 idx, [make_branch(b) for b in buckets], operand=None)
+            return d_xyxy, d_conf, d_cls, d_valid, feats, crop_valid
 
-            states, outs = jax.vmap(per_stream_track)(
-                states, d_xyxy, d_conf, d_cls, d_valid, feats, crop_valid)
+        def step(yolo_params, reid_params, states, frames):
+            # frames: (S, H, W, 3) uint8 — one frame per stream per step
+            dets = detect_and_embed(yolo_params, reid_params, frames)
+            states, outs = jax.vmap(per_stream_track)(states, *dets)
             return states, outs
 
-        if self.mesh is not None:
-            in_shardings = (
-                self._replicated,  # yolo params (pytree prefix)
-                self._replicated,  # reid params
-                jax.tree.map(lambda _: NamedSharding(self.mesh, P("stream")),
-                             self.states),
-                self._frames_sharding,
-            )
-            return jax.jit(step, in_shardings=in_shardings,
-                           donate_argnums=(2,))
-        return jax.jit(step, donate_argnums=(2,))
+        def chunk_step(yolo_params, reid_params, states, frames):
+            # frames: (S, K, H, W, 3) — K frames per stream per dispatch.
+            # All S*K frames ride one detection/ReID batch; the per-stream
+            # tracker scans over time inside the same program.
+            s_, k_ = frames.shape[:2]
+            flat = frames.reshape(s_ * k_, *frames.shape[2:])
+            dets = detect_and_embed(yolo_params, reid_params, flat)
+            # (S*K, ...) -> (K, S, ...) for the time scan
+            dets = jax.tree.map(
+                lambda a: a.reshape(s_, k_, *a.shape[1:]).swapaxes(0, 1),
+                tuple(dets))
+
+            def body(st, per_t):
+                st, outs = jax.vmap(per_stream_track)(st, *per_t)
+                return st, outs
+
+            states, outs = jax.lax.scan(body, states, dets)
+            # outs: each (K, S, ...) -> (S, K, ...)
+            outs = jax.tree.map(lambda a: a.swapaxes(0, 1), outs)
+            return states, outs
+
+        def jit_with_shardings(fn):
+            if self.mesh is not None:
+                in_shardings = (
+                    self._replicated,  # yolo params (pytree prefix)
+                    self._replicated,  # reid params
+                    jax.tree.map(
+                        lambda _: NamedSharding(self.mesh, P("stream")),
+                        self.states),
+                    self._frames_sharding,
+                )
+                return jax.jit(fn, in_shardings=in_shardings,
+                               donate_argnums=(2,))
+            return jax.jit(fn, donate_argnums=(2,))
+
+        return jit_with_shardings(step), jit_with_shardings(chunk_step)
 
     def step(self, frames: np.ndarray):
         """Advance all streams by one frame each.
@@ -221,5 +251,21 @@ class MultiStreamPipeline:
         if self._frames_sharding is not None:
             frames = jax.device_put(frames, self._frames_sharding)
         self.states, outs = self._step(
+            self.yolo_params, self.reid_params, self.states, frames)
+        return outs
+
+    def step_chunk(self, frames: np.ndarray):
+        """Advance all streams by K frames each (throughput mode).
+
+        Args:
+            frames: ``(S, K, H, W, 3)`` uint8 BGR.
+
+        Returns:
+            per-stream track outputs, each with shape ``(S, K, ...)``.
+        """
+        frames = jnp.asarray(frames)
+        if self._frames_sharding is not None:
+            frames = jax.device_put(frames, self._frames_sharding)
+        self.states, outs = self._chunk_step(
             self.yolo_params, self.reid_params, self.states, frames)
         return outs

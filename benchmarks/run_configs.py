@@ -131,8 +131,8 @@ def config3_full_tracking(frames_n=500):
     _emit("3_full_tracking_clip", best, frames=n, vs_baseline=round(best / 30, 2))
 
 
-def config4_multistream(steps=30):
-    """8 x 720p streams, one frame per stream per step."""
+def config4_multistream(steps=48, chunk=8):
+    """8 x 720p streams, K frames per stream per dispatch (chunked mode)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -141,22 +141,22 @@ def config4_multistream(steps=30):
     hw = (720, 1280)
     pipe = MultiStreamPipeline(n_streams=s, frame_hw=hw)
     arr = _load_clip(steps, hw=hw)
-    frames = np.stack([arr[:steps]] * s, axis=1)  # (steps, S, H, W, 3)
     staged = []
-    for t in range(steps):
-        c = jnp.asarray(frames[t])
+    for t in range(0, steps, chunk):
+        # (S, K, H, W, 3): every stream plays the clip
+        c = jnp.asarray(np.stack([arr[t:t + chunk]] * s))
         c.block_until_ready()
         staged.append(c)
-    outs = pipe.step(np.zeros((s, *hw, 3), np.uint8))  # compile
+    outs = pipe.step_chunk(np.zeros((s, chunk, *hw, 3), np.uint8))  # compile
     jax.block_until_ready(outs)
     t0 = time.perf_counter()
     for c in staged:
-        pipe.states, outs = pipe._step(pipe.yolo_params, pipe.reid_params,
-                                       pipe.states, c)
+        pipe.states, outs = pipe._chunk_step(
+            pipe.yolo_params, pipe.reid_params, pipe.states, c)
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     _emit("4_multistream_8x720p", steps * s / dt, unit="stream_fps",
-          streams=s)
+          streams=s, chunk=chunk)
 
 
 def config5_yolov8m_1080p(frames_n=128):
