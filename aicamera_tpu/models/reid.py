@@ -70,8 +70,10 @@ class ReIDNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = _ConvBNRelu(64, 3, 1, dtype=self.dtype, name="stem1")(x)
-        x = _ConvBNRelu(64, 3, 1, dtype=self.dtype, name="stem2")(x)
+        # single stem conv + max-pool, matching the deepsort.onnx graph
+        # (one Conv before the residual stages) so strict conv-count
+        # import mapping lines up
+        x = _ConvBNRelu(64, 3, 1, dtype=self.dtype, name="stem")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, (feats, down) in enumerate(
                 [(64, False), (64, False),
