@@ -25,7 +25,7 @@ from pathlib import Path
 
 CLIP = Path("/root/reference/assets/aicamera_test_clip.mp4")
 BASELINE_FPS = 30.0
-CHUNK = 48
+CHUNK = 96
 
 
 def main():
