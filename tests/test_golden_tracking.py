@@ -101,3 +101,48 @@ def test_identities_stable_through_crossing_and_occlusion(tracked):
     # all three objects were tracked, with distinct ids, assigned in order
     assert sorted(first_map.keys()) == [1, 2, 3]
     assert sorted(first_map.values()) == [1, 2, 3]
+
+
+def test_crowded_scene_many_tracks_stable():
+    """30 simultaneous objects (crowd config): all confirmed, distinct,
+    stable ids; MOTA ~1 after warm-up. Exercises the padded-capacity path
+    (config 5: 100+ track slots) and the Hungarian under real load."""
+    p = TrackerParams(max_tracks=64, max_detections=48, nn_budget=5,
+                      feature_dim=32, n_init=2, max_age=10)
+    n_obj = 30
+    rng = np.random.RandomState(0)
+    feats = []
+    for i in range(n_obj):
+        f = rng.rand(p.feature_dim).astype(np.float32)
+        feats.append(f / np.linalg.norm(f))
+    feats = np.stack(feats)
+    # grid of objects drifting in different directions
+    base = np.array([[60.0 * (i % 6) + 10, 70.0 * (i // 6) + 10, 30, 50]
+                     for i in range(n_obj)], np.float32)
+    vel = rng.uniform(-2, 2, (n_obj, 2)).astype(np.float32)
+
+    s = init_state(p)
+    gt, hyp = [], []
+    for t in range(25):
+        boxes = base.copy()
+        boxes[:, :2] += vel * t
+        s = predict(s, p)
+        d = make_detections(boxes, np.full(n_obj, 0.9, np.float32),
+                            np.zeros(n_obj, np.int32), feats, params=p)
+        s = update(s, d, p)
+        tlbr, tids, cls, conf, mask = get_outputs(s)
+        m = np.asarray(mask)
+        hyp.append((np.asarray(tlbr)[m], np.asarray(tids)[m]))
+        g = boxes.copy()
+        g[:, 2:] += g[:, :2]
+        gt.append((g, np.arange(1, n_obj + 1)))
+
+    res = evaluate_mot(gt, hyp)
+    assert res.id_switches == 0, res.as_dict()
+    # only the first frame (pre-confirmation, n_init=2) misses
+    assert res.misses == n_obj
+    assert res.false_positives == 0
+    assert res.mota == pytest.approx(1.0 - n_obj / (25 * n_obj))
+    # every object tracked with a distinct id
+    final_ids = sorted(hyp[-1][1].tolist())
+    assert final_ids == list(range(1, n_obj + 1))

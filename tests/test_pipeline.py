@@ -234,3 +234,24 @@ def test_multistream_chunked_matches_per_frame_stepping():
                     jax.tree.leaves(jax.device_get(outs2))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(ages1, np.asarray(pipe2.states.age))
+
+
+def test_tracking_service_async_serving():
+    from aicamera_tpu.serving import TrackingService
+    svc = TrackingService(chunk_size=4, max_latency_ms=20.0,
+                          input_shape=INPUT_HW, tracker_params=SMALL_TP,
+                          max_reid_crops=4)
+    try:
+        futs = [svc.submit(f) for f in _frames(10)]
+        results = [f.result(timeout=120) for f in futs]
+        assert [r.frame_index for r in results] == list(range(10))
+        for r in results:
+            assert r.det_boxes.shape[1] == 4
+            assert isinstance(r.tracks, list)
+        # a lone frame resolves within the latency window (idle flush)
+        lone = svc.submit(_frames(1)[0]).result(timeout=120)
+        assert lone.frame_index == 10
+    finally:
+        svc.shutdown()
+    with pytest.raises(RuntimeError):
+        svc.submit(_frames(1)[0])
