@@ -81,7 +81,7 @@ def config2_detect_clip(frames_n=500):
     import jax.numpy as jnp
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     arr = _load_clip(frames_n)
-    k = 16
+    k = 96
     pipe = TrackingPipeline(chunk_size=k, with_reid=False)
     pipe.warm_up(arr.shape[1:3])
     step = pipe._get_step(arr.shape[1:3], k)
@@ -109,7 +109,7 @@ def config3_full_tracking(frames_n=500):
     import jax.numpy as jnp
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     arr = _load_clip(frames_n)
-    k = 16
+    k = 96
     pipe = TrackingPipeline(chunk_size=k)
     pipe.warm_up(arr.shape[1:3])
     step = pipe._get_step(arr.shape[1:3], k)
@@ -167,7 +167,7 @@ def config5_yolov8m_1080p(frames_n=128):
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     from aicamera_tpu import config as cfg
     arr = _load_clip(frames_n, hw=(1080, 1920))
-    k = 8
+    k = 16
     tp = TrackerParams(max_tracks=256, max_detections=100,
                        feature_dim=cfg.REID_FEATURE_DIM)
     pipe = TrackingPipeline(variant="m", chunk_size=k, tracker_params=tp)
