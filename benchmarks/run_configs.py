@@ -131,7 +131,7 @@ def config3_full_tracking(frames_n=500):
     _emit("3_full_tracking_clip", best, frames=n, vs_baseline=round(best / 30, 2))
 
 
-def config4_multistream(steps=48, chunk=8):
+def config4_multistream(steps=48, chunk=12):
     """8 x 720p streams, K frames per stream per dispatch (chunked mode)."""
     import jax
     import jax.numpy as jnp
