@@ -41,6 +41,7 @@ class YOLODetector:
         self.device = device or jax.devices()[0]
         self.model, self.params = resolve_yolo_params(
             variant, weights_path=engine_path)
+        self._dtype = self.model.dtype
         self.params = jax.device_put(self.params, self.device)
         self._steps = {}
         print(f"YOLODetector initialized (YOLOv8{variant}, XLA on "
@@ -53,7 +54,7 @@ class YOLODetector:
         spec = letterbox_spec(key, self.input_shape)
 
         def step(params, frame_u8):
-            x = preprocess_yolo(frame_u8, spec, out_dtype=jnp.bfloat16)
+            x = preprocess_yolo(frame_u8, spec, out_dtype=self._dtype)
             levels = self.model.apply(params, x)
             boxes_lb, scores = decode_predictions(levels, self.input_shape)
             num, nboxes, nscores, nlabels = batched_nms(

@@ -82,6 +82,7 @@ class MultiStreamPipeline:
                             else preprocess_yolo)
         self.yolo, self.yolo_params = resolve_yolo_params(variant)
         self.reid, self.reid_params = resolve_reid_params()
+        self._dtype = self.yolo.dtype
         self.tracker_params = tracker_params or TrackerParams(
             max_tracks=config.MAX_TRACKS,
             max_detections=config.MAX_DETECTIONS,
@@ -151,7 +152,7 @@ class MultiStreamPipeline:
             """Detect + compact + ReID for a flat batch of frames (B, ...)."""
             b_total = frames.shape[0]
             x = jax.vmap(
-                lambda f: self._preprocess(f, spec, out_dtype=jnp.bfloat16)[0]
+                lambda f: self._preprocess(f, spec, out_dtype=self._dtype)[0]
             )(frames)
             levels = self.yolo.apply(yolo_params, x)
             boxes_lb, scores = decode_predictions(levels, self.input_shape)

@@ -26,6 +26,11 @@ from .. import config
 from ..models import ReIDNet, YOLOv8
 
 
+def compute_dtype():
+    """bf16 on TPU (MXU-native); f32 elsewhere (bf16 is emulated on CPU)."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def template_params(model, example_input):
     """Build a parameter pytree WITHOUT running the model.
 
@@ -70,7 +75,8 @@ def _save_msgpack(path: Path, params) -> None:
 def resolve_yolo_params(variant: str = "n", num_classes: int = 80,
                         weights_path: str | None = None):
     """Return (model, params) for the YOLOv8 detector."""
-    model = YOLOv8(variant=variant, num_classes=num_classes)
+    model = YOLOv8(variant=variant, num_classes=num_classes,
+                   dtype=compute_dtype())
     template = template_params(
         model, jnp.zeros((1, 64, 64, 3), jnp.float32))
     path = Path(weights_path) if weights_path else config.YOLO_PARAMS_PATH
@@ -93,7 +99,8 @@ def resolve_yolo_params(variant: str = "n", num_classes: int = 80,
 
 def resolve_reid_params(weights_path: str | None = None):
     """Return (model, params) for the ReID embedder."""
-    model = ReIDNet(feature_dim=config.REID_FEATURE_DIM)
+    model = ReIDNet(feature_dim=config.REID_FEATURE_DIM,
+                    dtype=compute_dtype())
     template = template_params(
         model, jnp.zeros((1, *config.REID_INPUT_SHAPE, 3), jnp.float32))
     path = Path(weights_path) if weights_path else config.REID_PARAMS_PATH

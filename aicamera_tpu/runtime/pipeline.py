@@ -101,6 +101,7 @@ class TrackingPipeline:
             variant, weights_path=yolo_weights)
         self.reid, self.reid_params = resolve_reid_params(
             weights_path=reid_weights)
+        self._dtype = self.yolo.dtype
         self.tracker_params = tracker_params or TrackerParams(
             max_cosine_distance=config.DEEPSORT_MAX_DIST,
             nn_budget=config.DEEPSORT_NN_BUDGET,
@@ -128,7 +129,7 @@ class TrackingPipeline:
         def detect_batch(yolo_params, frames):
             """Batched detection over the chunk: (K,H,W,3)u8 -> NMS outs."""
             x = jax.vmap(
-                lambda f: self._preprocess(f, spec, out_dtype=jnp.bfloat16)[0]
+                lambda f: self._preprocess(f, spec, out_dtype=self._dtype)[0]
             )(frames)  # (K, Dh, Dw, 3)
             levels = self.yolo.apply(yolo_params, x)
             boxes_lb, scores = decode_predictions(levels, self.input_shape)
