@@ -123,6 +123,29 @@ class DeepSORT:
         self.state = core_state.init_state(self.params)
         self.frame_count = 0
 
+    def get_active_tracks(self):
+        """All live tracks (confirmed AND tentative, matched or not) as
+        (x1, y1, x2, y2, track_id, class_name, conf, time_since_update)
+        tuples — parity with TrackerCore.get_active_tracks
+        (tracker_core.py:196-198) with tsu exposed for filtering."""
+        from .core.costs import mean_to_tlwh, tlwh_to_tlbr
+        import jax.numpy as jnp
+        st = self.state
+        tlbr = np.asarray(tlwh_to_tlbr(mean_to_tlwh(jnp.asarray(st.mean))))
+        active = np.asarray(st.active)
+        out = []
+        for i in np.flatnonzero(active):
+            cid = int(np.asarray(st.class_id)[i])
+            name = config.CLASSES[cid] if 0 <= cid < len(config.CLASSES) \
+                else "Unknown"
+            b = tlbr[i]
+            out.append((int(round(float(b[0]))), int(round(float(b[1]))),
+                        int(round(float(b[2]))), int(round(float(b[3]))),
+                        int(np.asarray(st.track_id)[i]), name,
+                        float(np.asarray(st.conf)[i]),
+                        int(np.asarray(st.tsu)[i])))
+        return out
+
     def _get_step(self, frame_hw):
         key = tuple(frame_hw)
         if key in self._steps:

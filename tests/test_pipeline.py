@@ -255,3 +255,17 @@ def test_tracking_service_async_serving():
         svc.shutdown()
     with pytest.raises(RuntimeError):
         svc.submit(_frames(1)[0])
+
+
+def test_deepsort_get_active_tracks_includes_tentative():
+    from aicamera_tpu.tracker_api import DeepSORT
+    ds = DeepSORT(max_tracks=16, max_detections=8, max_reid_crops=4,
+                  n_init=3, max_age=5)
+    frame = np.zeros((*FRAME_HW, 3), np.uint8)
+    box = np.array([[10.0, 10.0, 40.0, 60.0]], np.float32)
+    out = ds.update(box, np.array([0.9]), np.array([0]), frame)
+    assert out == []  # not confirmed yet
+    active = ds.get_active_tracks()
+    assert len(active) == 1
+    x1, y1, x2, y2, tid, name, conf, tsu = active[0]
+    assert tid == 1 and name == "person" and tsu == 0
