@@ -157,7 +157,12 @@ def _parse_node(buf: memoryview) -> OnnxNode:
 
 
 def parse_onnx(path) -> Tuple[List[OnnxNode], Dict[str, np.ndarray]]:
-    """Parse an ONNX file into (graph nodes, initializer arrays)."""
+    """Parse an ONNX file into (graph nodes, initializer arrays).
+
+    ``Constant`` node outputs are folded into the initializer map so that
+    weights routed through Constant nodes (some exporters do this for fixed
+    tensors) resolve the same way as plain initializers.
+    """
     data = memoryview(Path(path).read_bytes())
     graph = None
     for field, wire, val in _iter_fields(data):  # ModelProto
@@ -174,16 +179,80 @@ def parse_onnx(path) -> Tuple[List[OnnxNode], Dict[str, np.ndarray]]:
         elif field == 5 and wire == 2:
             name, arr = _parse_tensor(val)
             inits[name] = arr
+    for n in nodes:
+        if (n.op_type == "Constant" and n.outputs
+                and isinstance(n.attrs.get("value"), np.ndarray)):
+            inits.setdefault(n.outputs[0], n.attrs["value"])
     return nodes, inits
+
+
+def toposort_nodes(nodes: List[OnnxNode],
+                   inits: Dict[str, np.ndarray]) -> List[OnnxNode]:
+    """Stable topological sort into execution order.
+
+    torch exports nodes in forward-execution order already, in which case
+    this is the identity; files whose node list was reordered (graph
+    optimizers, some converters) are restored to a valid execution order
+    with original file position as the tie-break among ready nodes, so
+    same-level parallel branches keep their exported relative order.
+    """
+    import heapq
+
+    producer: Dict[str, int] = {}
+    for idx, n in enumerate(nodes):
+        for o in n.outputs:
+            producer[o] = idx
+
+    indeg = [0] * len(nodes)
+    users: Dict[int, List[int]] = {}
+    for idx, n in enumerate(nodes):
+        deps = {producer[i] for i in n.inputs
+                if i in producer and producer[i] != idx}
+        indeg[idx] = len(deps)
+        for d in deps:
+            users.setdefault(d, []).append(idx)
+
+    ready = [i for i, d in enumerate(indeg) if d == 0]
+    heapq.heapify(ready)
+    order: List[OnnxNode] = []
+    while ready:
+        i = heapq.heappop(ready)
+        order.append(nodes[i])
+        for u in users.get(i, ()):
+            indeg[u] -= 1
+            if indeg[u] == 0:
+                heapq.heappush(ready, u)
+    if len(order) != len(nodes):
+        raise ValueError("graph contains a cycle; not a valid ONNX graph")
+    return order
 
 
 # --- conv extraction with BN folding ------------------------------------------
 
 
+def is_dfl_conv_weight(w: np.ndarray) -> bool:
+    """True for the ultralytics DFL conv: a fixed, non-learned 1x1 kernel
+    whose content is ``arange(reg_max)`` (shape ``(1, reg_max, 1, 1)``).
+
+    The real yolov8n.onnx (the export the reference downloads,
+    ``scripts/download_models.sh:7``) contains this node in its Detect
+    head; it computes the DFL bin expectation as a conv and has no
+    counterpart in the Flax tree — :func:`~aicamera_tpu.models.yolov8.
+    decode_predictions` computes the expectation directly — so the
+    importer must skip it rather than zip it against a learned conv.
+    """
+    if (w.ndim != 4 or w.shape[0] != 1 or w.shape[2:] != (1, 1)
+            or w.shape[1] < 2):
+        return False
+    return bool(np.allclose(w.reshape(-1), np.arange(w.shape[1]),
+                            atol=1e-5))
+
+
 def extract_conv_weights(nodes: List[OnnxNode],
                          inits: Dict[str, np.ndarray]):
-    """Collect (kernel OIHW, bias) per Conv in graph order, folding any
-    BatchNormalization that consumes a conv's output.
+    """Collect (kernel OIHW, bias) per *learned* Conv in graph order,
+    folding any BatchNormalization that consumes a conv's output and
+    skipping fixed-weight DFL convs (:func:`is_dfl_conv_weight`).
 
     Fold: W' = W * gamma / sqrt(var + eps);  b' = (b - mean) * gamma /
     sqrt(var + eps) + beta.
@@ -200,6 +269,8 @@ def extract_conv_weights(nodes: List[OnnxNode],
         w = inits.get(n.inputs[1])
         if w is None:
             raise ValueError(f"Conv {n.name}: kernel is not an initializer")
+        if is_dfl_conv_weight(w):
+            continue
         b = inits.get(n.inputs[2]) if len(n.inputs) > 2 else None
         if b is None:
             b = np.zeros(w.shape[0], np.float32)
@@ -235,14 +306,46 @@ def extract_gemm_weights(nodes: List[OnnxNode],
 # --- Flax tree mapping ---------------------------------------------------------
 
 
-def _conv_paths_in_order(params) -> List[Tuple]:
-    """Flax conv param paths in forward-execution order.
+def forward_param_order(model, example_input) -> List[Tuple[Tuple, str]]:
+    """(path, kind) for every Conv/Dense in true forward-execution order.
 
-    Flax traverses submodules in *definition* order when the model is built
-    with ``nn.compact``, and our YOLOv8/ReID modules define each conv in the
-    order it is applied, so a depth-first walk that preserves insertion
-    order yields the forward order. (flax.core dicts preserve insertion
-    order of module creation.)
+    Captured with a flax method interceptor under ``jax.eval_shape`` (no
+    FLOPs run). This is the only reliable ordering: dict-based tree walks
+    see *sorted* keys (``jax.tree`` operations rebuild dicts in sorted key
+    order), which diverges from execution order in any multi-branch net —
+    e.g. yolov8's ``backbone/c2f1`` sorts before ``backbone/stem``.
+    Modules applied more than once (weight sharing) are recorded at their
+    first application only.
+    """
+    import jax
+    from flax import linen as nn
+
+    order: List[Tuple[Tuple, str]] = []
+    seen = set()
+
+    def interceptor(next_fn, args, kwargs, context):
+        m = context.module
+        if (context.method_name == "__call__"
+                and isinstance(m, (nn.Conv, nn.Dense))):
+            path = tuple(m.path)
+            if path not in seen:
+                seen.add(path)
+                order.append(
+                    (path, "conv" if isinstance(m, nn.Conv) else "dense"))
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        jax.eval_shape(model.init, jax.random.PRNGKey(0), example_input)
+    return order
+
+
+def _conv_paths_in_order(params) -> List[Tuple]:
+    """Flax conv param paths from a tree walk — SORTED key order, not
+    execution order (jax tree ops rebuild dicts sorted).
+
+    Only a fallback for models whose sorted path order coincides with
+    forward order (simple chains with ordered names); graph-order zipping
+    against a real export must use :func:`forward_param_order` instead.
     """
     paths = []
 
@@ -272,12 +375,21 @@ def _set_path(tree, path, kernel, bias):
         leaf["bias"] = bias.astype(np.float32)
 
 
-def import_conv_net_params(onnx_path, template, strict: bool = True):
-    """Zip ONNX convs (graph order, BN folded) onto the template's convs
-    (forward order). Returns a new params pytree (plain nested dicts)."""
+def import_conv_net_params(onnx_path, template, strict: bool = True,
+                           model=None, example_input=None):
+    """Zip ONNX convs (execution order via toposort, BN folded, DFL
+    skipped) onto the template's convs in forward-execution order. Returns
+    a new params pytree (plain nested dicts).
+
+    Pass ``model`` (+ ``example_input``) so the forward order is captured
+    by interception (:func:`forward_param_order`) — required for any
+    multi-branch architecture. Without it, a sorted tree walk is used,
+    which is only correct for chain models with order-preserving names.
+    """
     import jax
 
     nodes, inits = parse_onnx(onnx_path)
+    nodes = toposort_nodes(nodes, inits)
     convs = extract_conv_weights(nodes, inits)
     gemms = extract_gemm_weights(nodes, inits)
 
@@ -289,15 +401,25 @@ def import_conv_net_params(onnx_path, template, strict: bool = True):
         return d
     tree = to_mutable(tree)
 
-    paths = _conv_paths_in_order(tree)
-    conv_paths = [p for p in paths if _leaf_ndim(tree, p) == 4]
-    dense_paths = [p for p in paths if _leaf_ndim(tree, p) == 2]
+    if model is not None:
+        order = forward_param_order(model, example_input)
+        conv_paths = [p for p, kind in order if kind == "conv"]
+        dense_paths = [p for p, kind in order if kind == "dense"]
+    else:
+        paths = _conv_paths_in_order(tree)
+        conv_paths = [p for p in paths if _leaf_ndim(tree, p) == 4]
+        dense_paths = [p for p in paths if _leaf_ndim(tree, p) == 2]
 
     if strict and len(conv_paths) != len(convs):
         raise ValueError(
-            f"{onnx_path}: conv count mismatch — onnx has {len(convs)}, "
-            f"model expects {len(conv_paths)}. The export likely contains "
-            "extra/missing layers; import aborted.")
+            f"{onnx_path}: conv count mismatch — onnx has {len(convs)} "
+            f"learned convs, model expects {len(conv_paths)}. The export "
+            "likely contains extra/missing layers; import aborted.")
+    if strict and len(dense_paths) != len(gemms):
+        raise ValueError(
+            f"{onnx_path}: dense count mismatch — onnx has {len(gemms)} "
+            f"Gemm/MatMul with weights, model expects {len(dense_paths)}; "
+            "import aborted.")
     for path, (w, b) in zip(conv_paths, convs):
         # OIHW -> HWIO
         _set_path(tree, path, w.transpose(2, 3, 1, 0), b)
@@ -313,11 +435,19 @@ def _leaf_ndim(tree, path) -> int:
     return np.asarray(node["kernel"]).ndim
 
 
-def import_yolo_params(onnx_path, template):
-    """Import YOLOv8 weights from the ultralytics-exported ONNX file."""
-    return import_conv_net_params(onnx_path, template, strict=True)
+def import_yolo_params(onnx_path, template, model=None,
+                       example_input=None):
+    """Import YOLOv8 weights from the ultralytics-exported ONNX file
+    (reference scripts/download_models.sh:7). Pass the model so branch
+    ordering (neck concats, per-level reg/cls head) is captured by
+    execution-order interception, and the DFL conv is skipped."""
+    return import_conv_net_params(onnx_path, template, strict=True,
+                                  model=model, example_input=example_input)
 
 
-def import_reid_params(onnx_path, template):
-    """Import DeepSORT ReID weights from deepsort_reid.onnx."""
-    return import_conv_net_params(onnx_path, template, strict=True)
+def import_reid_params(onnx_path, template, model=None,
+                       example_input=None):
+    """Import DeepSORT ReID weights from deepsort_reid.onnx
+    (reference scripts/download_models.sh:8)."""
+    return import_conv_net_params(onnx_path, template, strict=True,
+                                  model=model, example_input=example_input)

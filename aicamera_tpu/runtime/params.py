@@ -85,10 +85,16 @@ def resolve_yolo_params(variant: str = "n", num_classes: int = 80,
     onnx_path = path if path.suffix == ".onnx" else config.YOLO_ONNX_PATH
     if onnx_path.exists():
         from ..models.onnx_import import import_yolo_params
-        params = import_yolo_params(onnx_path, template)
-        cache = config.YOLO_PARAMS_PATH if variant == "n" else \
-            config.YOLO_PARAMS_PATH.with_name(f"yolov8{variant}.msgpack")
-        _save_msgpack(cache, params)
+        params = import_yolo_params(
+            onnx_path, template, model=model,
+            example_input=jnp.zeros((1, 64, 64, 3), jnp.float32))
+        if weights_path is None:
+            # cache the conversion only for the default weights location —
+            # an explicit path (tests, experiments) must not overwrite the
+            # global cache
+            cache = config.YOLO_PARAMS_PATH if variant == "n" else \
+                config.YOLO_PARAMS_PATH.with_name(f"yolov8{variant}.msgpack")
+            _save_msgpack(cache, params)
         return model, params
     warnings.warn(
         f"No YOLOv8{variant} weights found at {path} / {onnx_path}; "
@@ -109,8 +115,12 @@ def resolve_reid_params(weights_path: str | None = None):
     onnx_path = path if path.suffix == ".onnx" else config.REID_ONNX_PATH
     if onnx_path.exists():
         from ..models.onnx_import import import_reid_params
-        params = import_reid_params(onnx_path, template)
-        _save_msgpack(config.REID_PARAMS_PATH, params)
+        params = import_reid_params(
+            onnx_path, template, model=model,
+            example_input=jnp.zeros((1, *config.REID_INPUT_SHAPE, 3),
+                                    jnp.float32))
+        if weights_path is None:
+            _save_msgpack(config.REID_PARAMS_PATH, params)
         return model, params
     warnings.warn(
         f"No ReID weights found at {path} / {onnx_path}; using seeded "

@@ -179,6 +179,225 @@ def test_bn_folding_matches_torch(onnx_setup):
                                rtol=1e-4, atol=1e-5)
 
 
+# --- yolov8n-shaped export fixture ------------------------------------------
+#
+# The real ultralytics yolov8n.onnx (the file scripts/download_models.sh
+# fetches, reference download_models.sh:7) contains 64 Conv nodes: 63
+# learned convs in forward-execution order plus the Detect head's DFL conv
+# — a fixed 1x1 kernel whose weight is arange(16), shape (1,16,1,1) — and
+# structural nodes (MaxPool in SPPF, Resize+Concat in the neck, Split/
+# Softmax/Sigmoid/Mul in the head tail). These fixtures emulate that
+# topology with the exact conv shapes of our Flax yolov8n template so the
+# strict import path is proven against the real export's shape before the
+# file itself is available (no network in this environment).
+
+
+def _yolo_model_and_template():
+    from aicamera_tpu.models.yolov8 import YOLOv8
+
+    model = YOLOv8(variant="n")
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 64, 64, 3)))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    return model, template
+
+
+def _template_conv_shapes_oihw(model, template):
+    """Conv kernel shapes (OIHW) in TRUE forward-execution order — the
+    order the real torch export emits Conv nodes in."""
+    from aicamera_tpu.models.onnx_import import forward_param_order
+
+    order = forward_param_order(model, jnp.zeros((1, 64, 64, 3)))
+    paths = [p for p, kind in order if kind == "conv"]
+    shapes = []
+    for p in paths:
+        node = template["params"]
+        for k in p:
+            node = node[k]
+        h, w, i, o = node["kernel"].shape
+        shapes.append((o, i, h, w))
+    return paths, shapes
+
+
+def build_yolov8n_like_onnx(conv_shapes_oihw, rng):
+    """Serialize a yolov8n-shaped ModelProto: 63 learned convs (45 chained
+    backbone+neck, then 3 levels x (3-conv reg branch || 3-conv cls branch)
+    branching from shared level features, exactly like ultralytics Detect),
+    interleaved MaxPool/Resize/Concat/Split structural nodes, and the fixed
+    DFL conv after the head convs. Returns (bytes, weights list)."""
+    nodes = []
+    inits = {}
+    weights = []
+
+    def add_conv(idx, shape, src, dst):
+        w = (rng.randn(*shape) * 0.1).astype(np.float32)
+        b = (rng.randn(shape[0]) * 0.05).astype(np.float32)
+        inits[f"w{idx}"] = w
+        inits[f"b{idx}"] = b
+        weights.append((w, b))
+        nodes.append(_node("Conv", [src, f"w{idx}", f"b{idx}"], [dst]))
+
+    n_head = 18  # 3 levels x (3 reg + 3 cls)
+    n_trunk = len(conv_shapes_oihw) - n_head
+
+    prev = "images"
+    level_feats = []
+    for i in range(n_trunk):
+        add_conv(i, conv_shapes_oihw[i], prev, f"t{i}")
+        prev = f"t{i}"
+        if i == n_trunk - 12:  # SPPF: 3 chained MaxPools + Concat
+            pools = []
+            for k in range(3):
+                nodes.append(_node("MaxPool", [prev], [f"mp{k}"]))
+                prev = f"mp{k}"
+                pools.append(prev)
+            nodes.append(_node("Concat", [f"t{i}"] + pools, ["sppf_cat"]))
+            prev = "sppf_cat"
+        if i in (n_trunk - 10, n_trunk - 7):  # neck upsamples
+            nodes.append(_node("Resize", [prev, "", "scales"], [f"rs{i}"]))
+            nodes.append(_node("Concat", [f"rs{i}", f"t{max(i - 3, 0)}"],
+                               [f"cat{i}"]))
+            prev = f"cat{i}"
+        if i in (n_trunk - 5, n_trunk - 3, n_trunk - 1):
+            level_feats.append(prev)
+    inits["scales"] = np.array([1, 1, 2, 2], np.float32)
+
+    # Detect head: per level, parallel reg/cls branches in torch's
+    # execution order (reg convs then cls convs).
+    head_outs = []
+    ci = n_trunk
+    for lvl, feat in enumerate(level_feats):
+        src = feat
+        for j in range(3):
+            add_conv(ci + j, conv_shapes_oihw[ci + j], src, f"reg{lvl}_{j}")
+            src = f"reg{lvl}_{j}"
+        reg_out = src
+        src = feat
+        for j in range(3):
+            add_conv(ci + 3 + j, conv_shapes_oihw[ci + 3 + j], src,
+                     f"cls{lvl}_{j}")
+            src = f"cls{lvl}_{j}"
+        nodes.append(_node("Concat", [reg_out, src], [f"head{lvl}"]))
+        head_outs.append(f"head{lvl}")
+        ci += 6
+
+    # post-head tail: Concat levels -> Split box/cls -> DFL conv on
+    # softmaxed bins -> Sigmoid scores -> Mul -> output
+    nodes.append(_node("Concat", head_outs, ["pred_cat"]))
+    inits["split_sizes"] = np.array([64, 80], np.int64)
+    nodes.append(_node("Split", ["pred_cat", "split_sizes"],
+                       ["box_bins", "cls_logits"]))
+    nodes.append(_node("Softmax", ["box_bins"], ["bins_sm"]))
+    dfl_w = np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1)
+    inits["dfl_w"] = dfl_w
+    nodes.append(_node("Conv", ["bins_sm", "dfl_w"], ["dfl_out"]))
+    nodes.append(_node("Sigmoid", ["cls_logits"], ["scores"]))
+    nodes.append(_node("Mul", ["dfl_out", "scores"], ["output0"]))
+
+    graph = b""
+    for n in nodes:
+        graph += _field(1, 2, n)
+    for name, arr in inits.items():
+        graph += _field(5, 2, _tensor_proto(name, arr))
+    graph += _str_field(2, "yolov8n_like")
+    model = _field(1, 0, _varint(8)) + _field(7, 2, graph)
+    return model, weights
+
+
+@pytest.fixture(scope="module")
+def yolov8n_like(tmp_path_factory):
+    model, template = _yolo_model_and_template()
+    paths, shapes = _template_conv_shapes_oihw(model, template)
+    rng = np.random.RandomState(7)
+    data, weights = build_yolov8n_like_onnx(shapes, rng)
+    path = tmp_path_factory.mktemp("onnx") / "yolov8n_like.onnx"
+    path.write_bytes(data)
+    return str(path), model, template, paths, weights
+
+
+def test_yolov8n_like_strict_import_maps_all_learned_convs(yolov8n_like):
+    path, model, template, conv_paths, weights = yolov8n_like
+    params = import_conv_net_params(
+        path, template, strict=True, model=model,
+        example_input=jnp.zeros((1, 64, 64, 3)))
+
+    assert len(conv_paths) == len(weights) == 63
+    for p, (w, b) in zip(conv_paths, weights):
+        node = params["params"]
+        for k in p:
+            node = node[k]
+        np.testing.assert_array_equal(node["kernel"],
+                                      w.transpose(2, 3, 1, 0),
+                                      err_msg=f"conv at {'/'.join(p)}")
+        np.testing.assert_array_equal(node["bias"], b)
+
+
+def test_dfl_conv_is_detected_and_skipped(yolov8n_like):
+    from aicamera_tpu.models.onnx_import import (extract_conv_weights,
+                                                 is_dfl_conv_weight)
+
+    path, _, _, _, weights = yolov8n_like
+    nodes, inits = parse_onnx(path)
+    assert sum(1 for n in nodes if n.op_type == "Conv") == 64
+    convs = extract_conv_weights(nodes, inits)
+    assert len(convs) == 63  # DFL skipped
+
+    assert is_dfl_conv_weight(
+        np.arange(16, dtype=np.float32).reshape(1, 16, 1, 1))
+    # a learned 1-channel-out conv must NOT be mistaken for DFL
+    assert not is_dfl_conv_weight(
+        np.random.RandomState(0).randn(1, 16, 1, 1).astype(np.float32))
+
+
+def test_toposort_restores_execution_order(yolov8n_like):
+    """A file whose node list is reversed (valid DAG, invalid execution
+    order) must recover the chained trunk's conv order exactly."""
+    from aicamera_tpu.models.onnx_import import toposort_nodes
+
+    path, _, _, _, _ = yolov8n_like
+    nodes, inits = parse_onnx(path)
+
+    def conv_weight_names(ns):
+        return [n.inputs[1] for n in ns if n.op_type == "Conv"]
+
+    fwd = conv_weight_names(toposort_nodes(nodes, inits))
+    rev = conv_weight_names(toposort_nodes(list(reversed(nodes)), inits))
+    assert len(fwd) == len(rev) == 64
+    # A file already in execution order sorts to itself.
+    assert fwd == [f"w{i}" for i in range(45)] + fwd[45:]
+    # The backbone+neck convs up to the first head branch point form a
+    # dependency chain: their order is forced regardless of file order.
+    # (Parallel branches after that are tie-broken by file position, which
+    # torch exports in execution order.)
+    assert rev[:41] == [f"w{i}" for i in range(41)]
+
+
+def test_dense_count_mismatch_raises(tmp_path):
+    """A Gemm in the file with no Dense in the template must abort
+    (previously zipped silently, leaving Dense params at template values)."""
+    rng = np.random.RandomState(3)
+    w = rng.randn(4, 3, 3, 3).astype(np.float32)
+    gw = rng.randn(8, 16).astype(np.float32)
+    graph = _field(1, 2, _node("Conv", ["x", "w", ""], ["c"]))
+    graph += _field(1, 2, _node("Gemm", ["c", "gw"], ["y"]))
+    graph += _field(5, 2, _tensor_proto("w", w))
+    graph += _field(5, 2, _tensor_proto("gw", gw))
+    model = _field(1, 0, _varint(8)) + _field(7, 2, graph)
+    path = tmp_path / "gemm.onnx"
+    path.write_bytes(model)
+
+    class ConvOnly(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(4, (3, 3))(x)
+
+    template = jax.eval_shape(ConvOnly().init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 8, 3)))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    with pytest.raises(ValueError, match="dense count mismatch"):
+        import_conv_net_params(str(path), template)
+
+
 def test_conv_count_mismatch_raises(onnx_setup):
     path, _ = onnx_setup
 
@@ -192,3 +411,21 @@ def test_conv_count_mismatch_raises(onnx_setup):
     template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
     with pytest.raises(ValueError, match="conv count mismatch"):
         import_conv_net_params(path, template)
+
+
+def test_sorted_tree_walk_differs_from_execution_order(yolov8n_like):
+    """Regression for the round-1 bug: jax tree ops rebuild dicts with
+    SORTED keys, so a tree walk sees backbone/c2f1 before backbone/stem.
+    The model-interception order must differ from the walk for yolov8 —
+    if this ever passes by them being equal, the model= requirement could
+    be dropped."""
+    from aicamera_tpu.models.onnx_import import (_conv_paths_in_order,
+                                                 forward_param_order)
+
+    _, model, template, conv_paths, _ = yolov8n_like
+    walk = [p for p in _conv_paths_in_order(template)]
+    exec_order = [p for p, k in forward_param_order(
+        model, jnp.zeros((1, 64, 64, 3)))]
+    assert exec_order == conv_paths
+    assert exec_order[0][-2:] == ("stem", "conv")
+    assert walk != exec_order
