@@ -71,8 +71,13 @@ def main(argv=None):
     if args.device.lower() == "cpu":
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # The axon TPU plugin overrides the env var; the config update is
+        # the reliable switch. Without it --device cpu silently ran on the
+        # TPU (and could deadlock against another TPU-attached process).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
-    # import after the backend env var is settled
+    # import after the backend choice is settled
     from .runtime.pipeline import TrackingPipeline
 
     # --- video input ----------------------------------------------------------

@@ -79,12 +79,20 @@ def evaluate_mot(gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
         matched_gt = set()
         matched_hyp = set()
 
-        # CLEAR-MOT: keep last frame's correspondences when still valid
+        # CLEAR-MOT: keep last known correspondences when still valid.
+        # A kept pair has the same hyp id as before, so it can never be a
+        # switch; switches surface in the Hungarian stage when the kept
+        # hyp is gone/gated or (after the claimed-check below) was taken
+        # by the gt that last owned it.
         for gi, g_id in enumerate(gt_ids):
             if g_id in last_match:
                 h_id = last_match[g_id]
                 hj = np.flatnonzero(hyp_ids == h_id)
-                if len(hj) and iou[gi, hj[0]] >= iou_threshold:
+                # the claimed-check matters when two gt ids share a last
+                # hyp id (the hyp jumped objects): only one may keep it;
+                # the other must re-match and be charged a switch
+                if (len(hj) and int(hj[0]) not in matched_hyp
+                        and iou[gi, hj[0]] >= iou_threshold):
                     matched_gt.add(gi)
                     matched_hyp.add(int(hj[0]))
                     iou_sum += float(iou[gi, hj[0]])

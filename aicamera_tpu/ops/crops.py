@@ -42,18 +42,24 @@ def _axis_weights(lo, hi, out_size: int, src_size: int):
 
 def extract_reid_crops(frame_bgr: jnp.ndarray, boxes_xyxy: jnp.ndarray,
                        out_hw: Tuple[int, int] = (128, 64),
-                       compute_dtype=jnp.bfloat16):
+                       compute_dtype=None):
     """Extract, resize and normalize ReID crops for a batch of boxes.
 
     Args:
         frame_bgr: ``(H, W, 3)`` uint8 (or float) BGR source frame.
         boxes_xyxy: ``(N, 4)`` float boxes in frame coordinates.
         out_hw: output crop size (H, W) — the ReID input shape.
+        compute_dtype: resize/normalize dtype. Defaults to the backend
+            policy (bf16 on TPU, f32 elsewhere) so CPU parity runs keep
+            full precision.
 
     Returns:
         crops: ``(N, out_h, out_w, 3)`` normalized RGB (ImageNet mean/std).
         valid: ``(N,)`` bool — False where the clamped box was empty.
     """
+    if compute_dtype is None:
+        from ..runtime.params import compute_dtype as _policy
+        compute_dtype = _policy()
     h, w = frame_bgr.shape[:2]
     oh, ow = out_hw
     img = frame_bgr.astype(compute_dtype)

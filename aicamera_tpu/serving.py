@@ -38,6 +38,9 @@ class TrackingService:
         self._q: queue.Queue = queue.Queue()
         self._frame_index = 0
         self._running = True
+        # guards _running + sentinel enqueue so no submit can slip a frame
+        # in behind the shutdown sentinel (whose Future would never resolve)
+        self._state_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -45,16 +48,19 @@ class TrackingService:
 
     def submit(self, frame_bgr: np.ndarray) -> Future:
         """Enqueue one frame; returns a Future of FrameResult."""
-        if not self._running:
-            raise RuntimeError("service is shut down")
         fut: Future = Future()
-        self._q.put((fut, np.asarray(frame_bgr)))
+        with self._state_lock:
+            if not self._running:
+                raise RuntimeError("service is shut down")
+            self._q.put((fut, np.asarray(frame_bgr)))
         return fut
 
     def shutdown(self, timeout: float = 30.0):
-        """Drain outstanding work and stop the worker."""
-        self._running = False
-        self._q.put(None)
+        """Drain outstanding work and stop the worker. Idempotent."""
+        with self._state_lock:
+            if self._running:
+                self._running = False
+                self._q.put(None)
         self._worker.join(timeout=timeout)
 
     # --- worker ----------------------------------------------------------------

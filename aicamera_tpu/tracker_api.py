@@ -96,7 +96,20 @@ class DeepSORT:
                  max_tracks: int = config.MAX_TRACKS,
                  max_detections: int = config.MAX_DETECTIONS,
                  max_reid_crops: int = config.MAX_REID_CROPS):
+        """Deviation from the reference: ``nn_budget=None`` means an
+        unlimited feature gallery there (tracker_core.py:20), but the
+        fixed-shape device state needs a static ring size, so ``None`` is
+        mapped to a 100-entry ring (the reference's configured default,
+        config.py:29) with a warning. Pass an explicit budget to silence
+        it."""
         enable_persistent_cache()
+        if nn_budget is None:
+            import warnings
+            warnings.warn(
+                "nn_budget=None (unlimited gallery in the reference) is "
+                "not representable in fixed device shapes; using a "
+                "100-entry feature ring instead. Pass nn_budget explicitly "
+                "to choose the ring size.", stacklevel=2)
         self.params = TrackerParams(
             max_cosine_distance=max_cosine_distance,
             nn_budget=nn_budget or 100,
@@ -114,6 +127,8 @@ class DeepSORT:
         self.state = core_state.init_state(self.params)
         self.frame_count = 0
         self._steps = {}
+        self._dropped_host = 0
+        self._warned_capacity = False
         print("DeepSORT Tracker initialized (TPU/XLA).")
         print(f"  TrackerCore Params: CosDist={max_cosine_distance}, "
               f"IoUDist={max_iou_distance}, MaxAge={max_age}, NInit={n_init}, "
@@ -122,6 +137,15 @@ class DeepSORT:
     def reset(self):
         self.state = core_state.init_state(self.params)
         self.frame_count = 0
+        self._dropped_host = 0
+
+    @property
+    def dropped_detections(self) -> int:
+        """Total detections dropped to the fixed max_detections capacity
+        (host truncation + on-device make_detections counter). The
+        reference has no capacity and processes every detection; a nonzero
+        value flags crowded-scene divergence."""
+        return self._dropped_host + int(np.asarray(self.state.dropped))
 
     def get_active_tracks(self):
         """All live tracks (confirmed AND tentative, matched or not) as
@@ -202,6 +226,19 @@ class DeepSORT:
             if confs[i] >= self.min_detection_confidence and \
                     name in config.CLASSES_TO_TRACK:
                 keep.append(i)
+        if len(keep) > n_det:
+            self._dropped_host += len(keep) - n_det
+            if not self._warned_capacity:
+                import warnings
+                warnings.warn(
+                    f"frame {self.frame_count}: {len(keep)} filtered "
+                    f"detections exceed max_detections={n_det}; dropping "
+                    f"the extras (and only the first "
+                    f"{self.max_reid_crops} get appearance features). "
+                    "Raise max_detections/max_reid_crops for crowded "
+                    "scenes; see .dropped_detections. (warned once)",
+                    stacklevel=2)
+                self._warned_capacity = True
         keep = keep[:n_det]
 
         d_xyxy = np.zeros((n_det, 4), np.float32)

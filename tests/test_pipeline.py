@@ -255,6 +255,49 @@ def test_tracking_service_async_serving():
         svc.shutdown()
     with pytest.raises(RuntimeError):
         svc.submit(_frames(1)[0])
+    svc.shutdown()  # idempotent
+
+
+def test_tracking_service_shutdown_submit_race():
+    """Submits racing shutdown() must never yield a silent, never-resolving
+    Future: every Future either resolves or submit raised RuntimeError."""
+    import threading
+
+    from aicamera_tpu.serving import TrackingService
+
+    svc = TrackingService(chunk_size=4, max_latency_ms=5.0,
+                          input_shape=INPUT_HW, tracker_params=SMALL_TP,
+                          max_reid_crops=4)
+    frame = _frames(1)[0]
+    svc.submit(frame).result(timeout=120)  # warm compile before the race
+
+    futs, lock = [], threading.Lock()
+    stop = threading.Event()
+
+    def hammer():
+        for _ in range(100):  # bounded: the drain after shutdown is O(futs)
+            if stop.is_set():
+                return
+            try:
+                f = svc.submit(frame)
+            except RuntimeError:
+                return
+            with lock:
+                futs.append(f)
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    import time
+    time.sleep(0.2)
+    svc.shutdown()
+    stop.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert all(not t.is_alive() for t in threads)
+    # every accepted Future must complete (result or exception), not hang
+    for f in futs:
+        f.exception(timeout=30)
 
 
 def test_deepsort_get_active_tracks_includes_tentative():
@@ -269,3 +312,22 @@ def test_deepsort_get_active_tracks_includes_tentative():
     assert len(active) == 1
     x1, y1, x2, y2, tid, name, conf, tsu = active[0]
     assert tid == 1 and name == "person" and tsu == 0
+
+
+def test_synthetic_load_saturates_detection_slate():
+    """Worst-case bench mode: synthetic_load fills every frame's detection
+    slots post-NMS, so all n objects confirm at n_init and stay tracked."""
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    tp = SMALL_TP
+    pipe = TrackingPipeline(chunk_size=2, input_shape=INPUT_HW,
+                            tracker_params=tp, max_reid_crops=4,
+                            synthetic_load=tp.max_detections)
+    # blank frames: no real detections, so the slate is purely synthetic
+    # and the id sequence is deterministic
+    frames = [np.zeros((*FRAME_HW, 3), np.uint8)] * 4
+    results = list(pipe.process_frames(iter(frames)))
+    # n_init=3 -> full slate confirmed from frame index 2 onward
+    assert len(results[-1].tracks) == tp.max_detections
+    ids = sorted(t[4] for t in results[-1].tracks)
+    assert ids == list(range(1, tp.max_detections + 1))
