@@ -7,11 +7,12 @@ per-frame step, eliminating the host round-trips that capped the reference
 at ~30 FPS end-to-end (SURVEY.md §6).
 """
 
-from .preprocess import LetterboxSpec, letterbox_spec, preprocess_yolo, scale_boxes_back
+from .preprocess import (LetterboxSpec, letterbox, letterbox_spec,
+                         preprocess_yolo, scale_boxes_back)
 from .nms import batched_nms
 from .crops import extract_reid_crops
 
 __all__ = [
-    "LetterboxSpec", "letterbox_spec", "preprocess_yolo", "scale_boxes_back",
+    "LetterboxSpec", "letterbox", "letterbox_spec", "preprocess_yolo", "scale_boxes_back",
     "batched_nms", "extract_reid_crops",
 ]

@@ -36,24 +36,65 @@ class LetterboxSpec:
     pad_wh: Tuple[float, float]  # (dw, dh) half-paddings, possibly fractional
     top: int
     left: int
+    # actual output canvas: == dst_hw in square mode; unpad + stride-modulo
+    # padding in `auto` (minimum-rectangle) mode
+    out_hw: Tuple[int, int] = None
+
+    def __post_init__(self):
+        if self.out_hw is None:
+            object.__setattr__(self, "out_hw", tuple(self.dst_hw))
+
+    @property
+    def bottom(self) -> int:
+        return self.out_hw[0] - self.unpad_hw[0] - self.top
+
+    @property
+    def right(self) -> int:
+        return self.out_hw[1] - self.unpad_hw[1] - self.left
 
 
 def letterbox_spec(src_hw: Tuple[int, int], dst_hw: Tuple[int, int],
-                   scaleup: bool = False) -> LetterboxSpec:
-    """Compute letterbox geometry (image_processing.py:37-67 semantics)."""
+                   scaleup: bool = False, auto: bool = False,
+                   scale_fill: bool = False,
+                   stride: int = 32) -> LetterboxSpec:
+    """Compute letterbox geometry (image_processing.py:37-67 semantics).
+
+    Modes (full reference-utility surface, image_processing.py:7-70):
+      * default (``auto=False, scale_fill=False``): pad to the exact
+        ``dst_hw`` square/rectangle — the configuration the detect
+        pipeline uses (preprocess_yolo_input :92).
+      * ``auto=True``: minimum rectangle — padding is reduced modulo
+        ``stride``, so the output is ``unpad + (pad % stride)`` per side
+        pair, generally smaller than ``dst_hw``.
+      * ``scale_fill=True`` (reference ``scaleFill``): stretch to
+        ``dst_hw`` with no padding. The returned ``ratio`` intentionally
+        stays the min-ratio ``r`` (not the per-axis gains) — the reference
+        returns the same quirk for unscaling consistency (:57-61).
+    """
     sh, sw = src_hw
     dh_, dw_ = dst_hw
     r = min(dh_ / sh, dw_ / sw)
     if not scaleup:
         r = min(r, 1.0)
     unpad = (int(round(sh * r)), int(round(sw * r)))
-    dw = (dw_ - unpad[1]) / 2.0
-    dh = (dh_ - unpad[0]) / 2.0
+    pad_w = dw_ - unpad[1]
+    pad_h = dh_ - unpad[0]
+    if auto:  # minimum rectangle: stride-multiple padding only
+        pad_w %= stride
+        pad_h %= stride
+    elif scale_fill:  # stretch, no padding
+        pad_w = pad_h = 0
+        unpad = (dh_, dw_)
+    dw = pad_w / 2.0
+    dh = pad_h / 2.0
     top = int(round(dh - 0.1))
+    bottom = int(round(dh + 0.1))
     left = int(round(dw - 0.1))
+    right = int(round(dw + 0.1))
+    out_hw = (unpad[0] + top + bottom, unpad[1] + left + right)
     return LetterboxSpec(src_hw=tuple(src_hw), dst_hw=tuple(dst_hw),
                          ratio=r, unpad_hw=unpad, pad_wh=(dw, dh),
-                         top=top, left=left)
+                         top=top, left=left, out_hw=out_hw)
 
 
 def _resize_weights(dst: int, src: int) -> np.ndarray:
@@ -81,7 +122,7 @@ def preprocess_yolo(frame_bgr_u8: jnp.ndarray, spec: LetterboxSpec,
     preprocess maps onto the MXU.
     """
     uh, uw = spec.unpad_hw
-    dh, dw = spec.dst_hw
+    dh, dw = spec.out_hw
     x = frame_bgr_u8.astype(jnp.float32)
     if (uh, uw) != spec.src_hw:
         wy = jnp.asarray(_resize_weights(uh, spec.src_hw[0]))
@@ -94,6 +135,35 @@ def preprocess_yolo(frame_bgr_u8: jnp.ndarray, spec: LetterboxSpec,
     canvas = jax.lax.dynamic_update_slice(canvas, x, (spec.top, spec.left, 0))
     canvas = canvas[..., ::-1]  # BGR -> RGB
     return (canvas / 255.0).astype(out_dtype)[None]
+
+
+def letterbox(im: np.ndarray, new_shape=(640, 640),
+              color=(114, 114, 114), auto: bool = True,
+              scaleFill: bool = False, scaleup: bool = True,
+              stride: int = 32):
+    """Host-side letterbox with the reference utility's full surface and
+    return contract (image_processing.py:7-70): returns
+    ``(padded_image, (r, r), (dw, dh))``.
+
+    The geometry comes from :func:`letterbox_spec` (shared with the
+    device path); pixel work is cv2 (host I/O layer, like the reference).
+    Defaults mirror the reference utility (``auto=True, scaleup=True``),
+    NOT the detect pipeline's configuration (``auto=False,
+    scaleup=False``).
+    """
+    import cv2
+
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    spec = letterbox_spec(im.shape[:2], new_shape, scaleup=scaleup,
+                          auto=auto, scale_fill=scaleFill, stride=stride)
+    out = im
+    if spec.unpad_hw != spec.src_hw:
+        out = cv2.resize(im, (spec.unpad_hw[1], spec.unpad_hw[0]),
+                         interpolation=cv2.INTER_LINEAR)
+    out = cv2.copyMakeBorder(out, spec.top, spec.bottom, spec.left,
+                             spec.right, cv2.BORDER_CONSTANT, value=color)
+    return out, (spec.ratio, spec.ratio), spec.pad_wh
 
 
 def scale_boxes_back(boxes_xyxy: jnp.ndarray, spec: LetterboxSpec) -> jnp.ndarray:
