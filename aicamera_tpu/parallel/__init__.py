@@ -9,6 +9,8 @@ the hot path needs **zero collectives** (detection batches ride the batch
 axis of the same convolutions).
 """
 
-from .multistream import MultiStreamPipeline, make_stream_mesh
+from .multistream import MultiStreamPipeline, make_mesh, make_stream_mesh
+from .tensor_parallel import replicate_params, shard_detector_params
 
-__all__ = ["MultiStreamPipeline", "make_stream_mesh"]
+__all__ = ["MultiStreamPipeline", "make_mesh", "make_stream_mesh",
+           "replicate_params", "shard_detector_params"]

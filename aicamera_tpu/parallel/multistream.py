@@ -45,6 +45,23 @@ def make_stream_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("stream",))
 
 
+def make_mesh(n_stream: int, n_model: int = 1) -> Mesh:
+    """2-D ('stream', 'model') mesh: data parallelism over streams x tensor
+    parallelism over conv output channels (for the large YOLOv8 variants).
+
+    With ``n_model == 1`` this degenerates to the pure stream mesh; the
+    collectives XLA inserts for the model axis ride ICI neighbors when the
+    mesh is laid out with 'model' as the minor (fastest-varying) axis, which
+    this construction does."""
+    need = n_stream * n_model
+    devs = jax.devices()
+    if len(devs) < need:
+        raise ValueError(f"mesh {n_stream}x{n_model} needs {need} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_stream, n_model),
+                ("stream", "model"))
+
+
 class MultiStreamPipeline:
     """Detect+track S independent streams per step, sharded over a mesh.
 
@@ -100,8 +117,16 @@ class MultiStreamPipeline:
             states = jax.device_put(states, state_sharding)
             self._frames_sharding = NamedSharding(mesh, P("stream"))
             self._replicated = NamedSharding(mesh, P())
-            self.yolo_params = jax.device_put(self.yolo_params,
-                                              self._replicated)
+            if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+                # tensor parallelism: conv output channels sharded on the
+                # 'model' axis; GSPMD partitions every conv and inserts the
+                # ICI collectives at sharding changes (tensor_parallel.py)
+                from .tensor_parallel import shard_detector_params
+                self.yolo_params = shard_detector_params(
+                    self.yolo_params, mesh)
+            else:
+                self.yolo_params = jax.device_put(self.yolo_params,
+                                                  self._replicated)
             self.reid_params = jax.device_put(self.reid_params,
                                               self._replicated)
         else:
@@ -225,8 +250,9 @@ class MultiStreamPipeline:
         def jit_with_shardings(fn):
             if self.mesh is not None:
                 in_shardings = (
-                    self._replicated,  # yolo params (pytree prefix)
-                    self._replicated,  # reid params
+                    # actual placements (channel-sharded under a 2-D mesh)
+                    jax.tree.map(lambda x: x.sharding, self.yolo_params),
+                    jax.tree.map(lambda x: x.sharding, self.reid_params),
                     jax.tree.map(
                         lambda _: NamedSharding(self.mesh, P("stream")),
                         self.states),

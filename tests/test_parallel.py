@@ -66,3 +66,37 @@ def test_2d_mesh_stream_by_model(setup):
     out = jax.jit(model.apply)(sharded, xs)
     jax.block_until_ready(out)
     assert out[0][0].shape[0] == 4
+
+
+def test_full_pipeline_step_on_2d_mesh_matches_single_device():
+    """VERDICT r1 #6: the FULL multi-stream tracking step (preprocess ->
+    detect -> NMS -> crops -> ReID -> vmapped tracker core) over a
+    ('stream','model') 2-D mesh with channel-sharded detector params must
+    run and match the unsharded single-device pipeline bitwise (output-
+    channel sharding does not change any reduction order)."""
+    from aicamera_tpu.core.state import TrackerParams
+    from aicamera_tpu.parallel import MultiStreamPipeline, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tp = TrackerParams(max_tracks=16, max_detections=8, nn_budget=4,
+                       max_age=10, feature_dim=512)
+    kw = dict(n_streams=4, frame_hw=(96, 128), input_shape=(128, 128),
+              tracker_params=tp, max_reid_crops=4)
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, (4, 2, 96, 128, 3), np.uint8)  # (S,K,...)
+
+    sharded = MultiStreamPipeline(mesh=make_mesh(4, 2), **kw)
+    outs = sharded.step_chunk(frames)
+    jax.block_until_ready(outs)
+
+    single = MultiStreamPipeline(**kw)
+    outs1 = single.step_chunk(frames)
+    jax.block_until_ready(outs1)
+
+    for a, b in zip(jax.device_get(outs), jax.device_get(outs1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # tracker states advanced identically too
+    for a, b in zip(jax.tree.leaves(jax.device_get(sharded.states)),
+                    jax.tree.leaves(jax.device_get(single.states))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
