@@ -81,8 +81,16 @@ class TrackingPipeline:
                  max_reid_crops: int = config.MAX_REID_CROPS,
                  chunk_size: int = 8,
                  preprocess_impl: str = "auto",
-                 with_reid: bool = True):
+                 with_reid: bool = True,
+                 synthetic_load: int = 0):
+        """``synthetic_load=n`` fills the first n detection slots of every
+        frame with synthetic tiled boxes (class person, conf 0.5) after
+        NMS, regardless of what the detector found. This saturates the
+        ReID crop bucket, the association cascade and the track table —
+        the worst-case benchmark mode (real detections, when present,
+        still occupy their slots first)."""
         enable_persistent_cache()
+        self.synthetic_load = int(synthetic_load)
         self.input_shape = tuple(input_shape)
         self.conf_threshold = float(conf_threshold)
         self.nms_threshold = float(nms_threshold)
@@ -126,6 +134,17 @@ class TrackingPipeline:
         n_crops = self.max_reid_crops
         with_reid = self.with_reid
 
+        n_syn = min(self.synthetic_load, n_det)
+        if n_syn:
+            # static 8x8 grid of boxes spanning the frame (worst-case mode)
+            fh, fw = frame_hw
+            gi = np.arange(n_det)
+            gx = (gi % 8) * (fw / 8.0)
+            gy = ((gi // 8) % 8) * (fh / 8.0)
+            syn_boxes = jnp.asarray(np.stack(
+                [gx + 2, gy + 2, gx + fw / 8.0 - 2, gy + fh / 8.0 - 2],
+                axis=-1).astype(np.float32))
+
         def detect_batch(yolo_params, frames):
             """Batched detection over the chunk: (K,H,W,3)u8 -> NMS outs."""
             x = jax.vmap(
@@ -165,6 +184,15 @@ class TrackingPipeline:
             num, boxes_f, scores, labels = detect_batch(yolo_params, frames)
             d_xyxy, d_conf, d_cls, d_valid, det_valid = jax.vmap(compact_dets)(
                 num, boxes_f, scores, labels)  # (K, n_det, ...)
+
+            if n_syn:
+                # fill empty slots (real dets are compacted to the front)
+                # with the synthetic grid up to n_syn per frame
+                fill = (jnp.arange(n_det) < n_syn)[None, :] & ~d_valid
+                d_xyxy = jnp.where(fill[..., None], syn_boxes[None], d_xyxy)
+                d_conf = jnp.where(fill, 0.5, d_conf)
+                d_cls = jnp.where(fill, 0, d_cls)  # person
+                d_valid = d_valid | fill
 
             if with_reid:
                 # Load-adaptive crop bucketing (the analog of the reference

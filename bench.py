@@ -34,6 +34,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from aicamera_tpu import config
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
 
     if not CLIP.exists():
@@ -53,9 +54,6 @@ def main():
     n = (len(frames) // CHUNK) * CHUNK
     arr = np.stack(frames[:n])
 
-    pipe = TrackingPipeline(chunk_size=CHUNK)
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], CHUNK)
     frame_valid = jnp.ones((CHUNK,), bool)
 
     # stage the clip into HBM while the device is idle
@@ -65,29 +63,47 @@ def main():
         c.block_until_ready()
         chunks.append(c)
 
-    def timed_pass():
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, det_outs, track_outs = step(
-                pipe.yolo_params, pipe.reid_params, state, c, frame_valid)
-            outs.append(track_outs)
-        host = jax.device_get(outs)  # includes output readback in the timing
-        dt = time.perf_counter() - t0
-        return n / dt, host
+    def measure(pipe) -> float:
+        """Median tracked FPS over 3 passes (not best-of: VERDICT r1)."""
+        step = pipe._get_step(arr.shape[1:3], CHUNK)
 
-    best = 0.0
-    for _ in range(3):
-        fps, host = timed_pass()
-        best = max(best, fps)
+        def timed_pass():
+            pipe.reset()
+            state = pipe.state
+            outs = []
+            t0 = time.perf_counter()
+            for c in chunks:
+                state, det_outs, track_outs = step(
+                    pipe.yolo_params, pipe.reid_params, state, c,
+                    frame_valid)
+                outs.append(track_outs)
+            jax.device_get(outs)  # output readback inside the timing
+            return n / (time.perf_counter() - t0)
+
+        runs = sorted(timed_pass() for _ in range(3))
+        return runs[1]
+
+    pipe = TrackingPipeline(chunk_size=CHUNK)
+    pipe.warm_up(arr.shape[1:3])
+    median_fps = measure(pipe)
+    del pipe
+
+    # Worst-case load: every frame carries a full 64-detection slate
+    # (synthetic grid boxes injected post-NMS), saturating the largest
+    # ReID crop bucket, the cascade and the track table. Guards the
+    # headline against random-weights flattery (sparse detections).
+    wc = TrackingPipeline(chunk_size=CHUNK,
+                          synthetic_load=config.MAX_DETECTIONS)
+    wc.warm_up(arr.shape[1:3])
+    worst_case_fps = measure(wc)
 
     print(json.dumps({
         "metric": "e2e_tracked_fps_640_v5e",
-        "value": round(best, 1),
+        "value": round(median_fps, 1),
         "unit": "fps",
-        "vs_baseline": round(best / BASELINE_FPS, 2),
+        "vs_baseline": round(median_fps / BASELINE_FPS, 2),
+        "worst_case_64det_fps": round(worst_case_fps, 1),
+        "method": "median_of_3",
     }))
 
 

@@ -159,13 +159,45 @@ def config4_multistream(steps=48, chunk=12):
           streams=s, chunk=chunk)
 
 
-def config5_yolov8m_1080p(frames_n=128):
-    """YOLOv8m at 1080p with crowd-scale track capacity."""
+def config5_yolov8m_1080p(frames_n=128, mesh_spec: str | None = None):
+    """YOLOv8m at 1080p with crowd-scale track capacity.
+
+    With ``--mesh SxM`` (e.g. 2x4), runs the multi-stream pipeline over a
+    ('stream','model') 2-D mesh instead: S parallel 1080p streams with the
+    detector's conv channels sharded M-way (tensor parallelism for the
+    larger variants)."""
     import jax
     import jax.numpy as jnp
     from aicamera_tpu.core.state import TrackerParams
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     from aicamera_tpu import config as cfg
+    if mesh_spec:
+        import numpy as np
+        from aicamera_tpu.parallel import MultiStreamPipeline, make_mesh
+        s, m = (int(v) for v in mesh_spec.lower().split("x"))
+        hw = (1080, 1920)
+        tp = TrackerParams(max_tracks=256, max_detections=100,
+                           feature_dim=cfg.REID_FEATURE_DIM)
+        pipe = MultiStreamPipeline(n_streams=s, frame_hw=hw, variant="m",
+                                   mesh=make_mesh(s, m), tracker_params=tp)
+        arr = _load_clip(frames_n, hw=hw)
+        k = 4
+        staged = []
+        for t in range(0, (frames_n // k) * k, k):
+            c = jnp.asarray(np.stack([arr[t:t + k]] * s))
+            c.block_until_ready()
+            staged.append(c)
+        outs = pipe.step_chunk(np.zeros((s, k, *hw, 3), np.uint8))
+        jax.block_until_ready(outs)
+        t0 = time.perf_counter()
+        for c in staged:
+            pipe.states, outs = pipe._chunk_step(
+                pipe.yolo_params, pipe.reid_params, pipe.states, c)
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        _emit("5_yolov8m_1080p_crowd", len(staged) * k * s / dt,
+              unit="stream_fps", mesh=mesh_spec)
+        return
     arr = _load_clip(frames_n, hw=(1080, 1920))
     k = 16
     tp = TrackerParams(max_tracks=256, max_detections=100,
@@ -191,19 +223,91 @@ def config5_yolov8m_1080p(frames_n=128):
     _emit("5_yolov8m_1080p_crowd", best, frames=n)
 
 
+def config6_streaming_e2e(chunk=32):
+    """Streaming end-to-end: wall-clock FPS INCLUDING host video decode and
+    frame upload, over the CLI's double-buffered path (decode-ahead reader,
+    results consumed one chunk behind dispatch). This is the number the
+    north star's 'OpenCV frame I/O overlapped with device dispatch' claim
+    stands on; configs 2/3 exclude decode like the reference's accounting.
+
+    Caveat: on the tunneled dev runtime, sustained host->device transfers
+    degrade (~1s/transfer once the queue is busy; see CLAUDE.md) — real
+    v5e PCIe hosts do not behave this way, so this number is a lower bound.
+    """
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    from aicamera_tpu.utils.video_io import VideoReader
+
+    pipe = TrackingPipeline(chunk_size=chunk)
+    reader0 = VideoReader(str(CLIP), max_frames=chunk)
+    first = next(iter(reader0.frames()))
+    reader0.release()
+    pipe.warm_up(first.shape[:2])
+
+    reader = VideoReader(str(CLIP))
+    n = 0
+    t0 = time.perf_counter()
+    for result in pipe.process_frames(reader.frames()):
+        _ = result.tracks  # touch the host result
+        n += 1
+    dt = time.perf_counter() - t0
+    reader.release()
+    _emit("6_streaming_e2e_incl_decode", n / dt, frames=n, chunk=chunk,
+          note="includes decode+upload; tunnel-degraded lower bound")
+
+
+def config7_worst_case_load(frames_n=192):
+    """Full tracking with a saturated 64-detection slate every frame
+    (synthetic grid injected post-NMS): largest ReID bucket, full cascade,
+    full track table. The honest lower bound for crowded scenes."""
+    import jax
+    import jax.numpy as jnp
+    from aicamera_tpu import config as cfg
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    arr = _load_clip(frames_n)
+    k = 32
+    pipe = TrackingPipeline(chunk_size=k,
+                            synthetic_load=cfg.MAX_DETECTIONS)
+    pipe.warm_up(arr.shape[1:3])
+    step = pipe._get_step(arr.shape[1:3], k)
+    fv = jnp.ones((k,), bool)
+    chunks = _staged_chunks(arr, k)
+    n = len(chunks) * k
+    runs = []
+    for _ in range(3):
+        pipe.reset()
+        state = pipe.state
+        outs = []
+        t0 = time.perf_counter()
+        for c in chunks:
+            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
+                                        state, c, fv)
+            outs.append(track_outs)
+        jax.device_get(outs)
+        runs.append(n / (time.perf_counter() - t0))
+    _emit("7_worst_case_64det", sorted(runs)[1], frames=n,
+          method="median_of_3")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
-           5: config5_yolov8m_1080p}
+           5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
+           7: config7_worst_case_load}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, choices=sorted(CONFIGS))
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--mesh", type=str, default=None,
+                    help="SxM ('stream','model') mesh for config 5, "
+                         "e.g. 2x4 (tensor parallelism).")
     args = ap.parse_args()
     targets = sorted(CONFIGS) if args.all else [args.config or 3]
     for t in targets:
-        CONFIGS[t]()
+        if t == 5 and args.mesh:
+            config5_yolov8m_1080p(mesh_spec=args.mesh)
+        else:
+            CONFIGS[t]()
 
 
 if __name__ == "__main__":
