@@ -54,6 +54,9 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     parser.add_argument("--variant", type=str, default="n",
                         choices=("n", "s", "m", "l", "x"),
                         help="YOLOv8 variant.")
+    parser.add_argument("--input_shape", type=int, default=None,
+                        help="Detector input size (square; default "
+                             f"{config.YOLO_INPUT_SHAPE[0]}).")
     parser.add_argument("--chunk_size", type=int, default=8,
                         help="Frames per fused device step (throughput knob; "
                              "1 = lowest latency).")
@@ -63,6 +66,15 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                         help="Also draw raw detections under the tracks.")
     parser.add_argument("--profile", action="store_true",
                         help="Print a per-stage timing breakdown at exit.")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="Path for periodic tracker-state snapshots "
+                             "(msgpack; written atomically).")
+    parser.add_argument("--checkpoint_interval", type=int, default=500,
+                        help="Frames between snapshots when --checkpoint "
+                             "is set.")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Resume tracker state from a snapshot file "
+                             "(track ids continue where they left off).")
     return parser.parse_args(argv)
 
 
@@ -99,10 +111,21 @@ def main(argv=None):
         yolo_weights=args.yolo_weights,
         reid_weights=args.reid_weights,
         chunk_size=chunk,
+        **({"input_shape": (args.input_shape, args.input_shape)}
+           if args.input_shape else {}),
     )
     print("Compiling fused detect+track step (cached after first run)...")
     secs = pipeline.warm_up((reader.height, reader.width))
     print(f"  ready in {secs:.1f}s")
+
+    # --- tracker-state checkpointing (streaming snapshots / resume) -------------
+    if args.resume:
+        from .runtime.checkpoint import load_state
+        pipeline.state = load_state(args.resume, pipeline.tracker_params)
+        print(f"Resumed tracker state from {args.resume}")
+    ckpt_path = Path(args.checkpoint) if args.checkpoint else None
+    if ckpt_path:
+        from .runtime.checkpoint import save_state
 
     # --- video output -----------------------------------------------------------
     writer = None
@@ -177,10 +200,17 @@ def main(argv=None):
             if n_frames % 100 == 0:
                 print(f"  processed {n_frames} frames "
                       f"({n_frames / max(t_compute, 1e-9):.1f} FPS)")
+            if ckpt_path and n_frames % max(args.checkpoint_interval, 1) == 0:
+                with (timer.stage("checkpoint") if timer
+                      else contextlib.nullcontext()):
+                    save_state(ckpt_path, pipeline.state)
             t0 = time.perf_counter()
     except KeyboardInterrupt:
         print("\nInterrupted — shutting down cleanly.")
     finally:
+        if ckpt_path and n_frames:
+            save_state(ckpt_path, pipeline.state)
+            print(f"Final tracker state saved to {ckpt_path}")
         reader.release()
         if writer is not None:
             writer.release()

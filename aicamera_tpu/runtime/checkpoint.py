@@ -20,12 +20,19 @@ from ..core.state import TrackerParams, TrackerState, init_state
 
 
 def save_state(path: str | Path, state: TrackerState) -> None:
-    """Serialize a TrackerState (single- or multi-stream) to msgpack."""
+    """Serialize a TrackerState (single- or multi-stream) to msgpack.
+
+    The write is atomic (temp file + rename) so periodic streaming
+    snapshots (cli --checkpoint) can never leave a torn file behind if the
+    process dies mid-write.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     host_state = jax.device_get(state)
-    with open(path, "wb") as f:
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host_state))
+    tmp.replace(path)
 
 
 def load_state(path: str | Path, params: TrackerParams,
