@@ -51,32 +51,57 @@ def predict(state: TrackerState, params: TrackerParams) -> TrackerState:
 
 
 def _associate(state: TrackerState, dets: Detections, params: TrackerParams):
-    """Two-stage association. Returns (match (T,) det idx or -1, det_unmatched)."""
-    # --- Stage 1: gated appearance cascade over confirmed tracks ------------
-    meas_xyah = tlwh_to_xyah(dets.tlwh)  # (N, 4)
-    gal_idx = jnp.arange(state.gallery.shape[1])
-    gallery_valid = gal_idx[None, :] < state.gallery_count[:, None]  # (T, G)
+    """Two-stage association. Returns (match (T,) det idx or -1, det_unmatched).
 
-    app_cost = appearance_cost_matrix(
-        state.gallery, gallery_valid, dets.feature, dets.has_feature)
-    gate = kalman.gating_distance(state.mean, state.cov, meas_xyah)
-    app_cost = jnp.where(gate > kalman.CHI2INV95[4], INFTY_COST, app_cost)
-
+    Both stages are wrapped in ``lax.cond`` guards that skip them when they
+    provably cannot produce a match (no eligible rows / no eligible
+    columns). Inside the per-frame ``lax.scan`` every executed op pays fixed
+    sequencer overhead, so skipping the whole appearance einsum + gating +
+    cascade subgraph on empty frames is a large win; the guarded result is
+    bit-identical (featureless detections cost INFTY in the cascade and can
+    never match, reference matching.py:185-193).
+    """
+    t = state.mean.shape[0]
     confirmed = state.active & (state.state == CONFIRMED)
-    cascade_match, det_unmatched = matching_cascade(
-        app_cost, state.tsu, confirmed, dets.valid,
-        params.max_cosine_distance, params.max_age)
+
+    # --- Stage 1: gated appearance cascade over confirmed tracks ------------
+    def stage1(_):
+        meas_xyah = tlwh_to_xyah(dets.tlwh)  # (N, 4)
+        gal_idx = jnp.arange(state.gallery.shape[1])
+        gallery_valid = gal_idx[None, :] < state.gallery_count[:, None]
+
+        app_cost = appearance_cost_matrix(
+            state.gallery, gallery_valid, dets.feature, dets.has_feature)
+        gate = kalman.gating_distance(state.mean, state.cov, meas_xyah)
+        app_cost = jnp.where(gate > kalman.CHI2INV95[4], INFTY_COST, app_cost)
+
+        return matching_cascade(
+            app_cost, state.tsu, confirmed, dets.valid,
+            params.max_cosine_distance, params.max_age)
+
+    def skip1(_):
+        return jnp.full((t,), -1, jnp.int32), dets.valid
+
+    run1 = jnp.any(confirmed) & jnp.any(dets.valid & dets.has_feature)
+    cascade_match, det_unmatched = jax.lax.cond(run1, stage1, skip1, None)
 
     # --- Stage 2: IoU matching ----------------------------------------------
     tentative = state.active & (state.state == TENTATIVE)
     recently_missed = confirmed & (cascade_match < 0) & (state.tsu == 1)
     iou_rows = tentative | recently_missed
 
-    track_tlwh = mean_to_tlwh(state.mean)
-    iou_cost = iou_cost_matrix(track_tlwh, dets.tlwh)
-    iou_match = min_cost_matching(
-        iou_cost, iou_rows, det_unmatched,
-        jnp.float32(params.max_iou_distance))
+    def stage2(_):
+        track_tlwh = mean_to_tlwh(state.mean)
+        iou_cost = iou_cost_matrix(track_tlwh, dets.tlwh)
+        return min_cost_matching(
+            iou_cost, iou_rows, det_unmatched,
+            jnp.float32(params.max_iou_distance))
+
+    def skip2(_):
+        return jnp.full((t,), -1, jnp.int32)
+
+    run2 = jnp.any(iou_rows) & jnp.any(det_unmatched)
+    iou_match = jax.lax.cond(run2, stage2, skip2, None)
 
     match = jnp.where(cascade_match >= 0, cascade_match, iou_match)
     nd = dets.valid.shape[0]
@@ -153,11 +178,15 @@ def update(state: TrackerState, dets: Detections,
     new_ids = state.next_id + det_rank.astype(jnp.int32)
 
     def scatter(arr, values):
-        """Scatter per-detection values into track slots (index t dropped)."""
-        padded = jnp.concatenate(
-            [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)], axis=0)
-        padded = padded.at[slot_for_det].set(values.astype(arr.dtype))
-        return padded[:t]
+        """Scatter per-detection values into track slots.
+
+        Unplaceable detections carry slot index ``t`` (out of bounds);
+        ``mode="drop"`` discards them in the scatter itself — no
+        concatenate/pad/slice copies of the (potentially large) target
+        array per frame.
+        """
+        return arr.at[slot_for_det].set(values.astype(arr.dtype),
+                                        mode="drop")
 
     active = scatter(active, jnp.ones_like(new_det))
     st = scatter(st, jnp.full_like(det_rank, TENTATIVE))
@@ -171,12 +200,16 @@ def update(state: TrackerState, dets: Detections,
     conf = scatter(conf, dets.conf)
 
     # Seed gallery with the initiating detection's feature (track.py:63-64).
+    # Only position 0 is written; anything a previous slot occupant left
+    # beyond gallery_count is dead data — every reader masks by
+    # gallery_valid = arange(G) < gallery_count (costs.py:114-137), and the
+    # FIFO append writes each position before count makes it valid. This
+    # avoids materializing a (N, G, D) zero tensor and scattering full
+    # gallery rows (G*D floats per detection) every frame.
     seed = dets.has_feature
-    seed_gal = jnp.zeros((dets.tlwh.shape[0], g, state.gallery.shape[2]),
-                         state.gallery.dtype)
-    seed_gal = seed_gal.at[:, 0].set(
-        jnp.where(seed[:, None], dets.feature, 0.0))
-    gallery = scatter(gallery, seed_gal)
+    gallery = gallery.at[slot_for_det, 0].set(
+        jnp.where(seed[:, None], dets.feature, 0.0).astype(gallery.dtype),
+        mode="drop")
     gallery_count = scatter(gallery_count, seed.astype(jnp.int32))
     gallery_next = scatter(gallery_next, seed.astype(jnp.int32) % g)
 

@@ -201,11 +201,19 @@ class TrackingPipeline:
                 # in the chunk needs, via static-size branches. Detections
                 # are compacted to the front of their slots, so a bucket
                 # covering the per-frame maximum preserves semantics exactly.
-                buckets = [b for b in (8, 16) if b < n_crops] + [n_crops]
+                # Bucket 0 skips the crop gather + ReID forward outright on
+                # chunks with no trackable detections (the whole embed
+                # subgraph is dead work there).
+                buckets = [0] + [b for b in (8, 16) if b < n_crops] + [n_crops]
                 n_needed = jnp.max(jnp.sum(d_valid[:, :n_crops], axis=1))
 
                 def make_branch(b):
                     def branch(_):
+                        fpad = jnp.zeros((k, n_crops, p.feature_dim),
+                                         jnp.float32)
+                        vpad = jnp.zeros((k, n_crops), jnp.bool_)
+                        if b == 0:
+                            return fpad, vpad
                         crops, crop_valid = jax.vmap(
                             lambda fr, bx: extract_reid_crops(
                                 fr, bx, out_hw=config.REID_INPUT_SHAPE)
@@ -214,11 +222,8 @@ class TrackingPipeline:
                             reid_params,
                             crops.reshape(k * b, *crops.shape[2:]))
                         feats = feats.reshape(k, b, -1).astype(jnp.float32)
-                        fpad = jnp.zeros((k, n_crops, p.feature_dim),
-                                         jnp.float32).at[:, :b].set(feats)
-                        vpad = jnp.zeros((k, n_crops), jnp.bool_).at[
-                            :, :b].set(crop_valid)
-                        return fpad, vpad
+                        return (fpad.at[:, :b].set(feats),
+                                vpad.at[:, :b].set(crop_valid))
                     return branch
 
                 idx = sum(jnp.int32(n_needed > b) for b in buckets[:-1])
