@@ -49,10 +49,17 @@ def _emit(name, fps, unit="fps", **extra):
 
 
 def config1_detect_cpu():
-    """Single-frame YOLOv8n detect on the CPU backend."""
+    """Single-frame YOLOv8n detect on the CPU backend.
+
+    The env var alone is NOT enough — the axon TPU plugin overrides
+    JAX_PLATFORMS, so the backend must be forced via jax.config after
+    import (same fix as cli.py --device cpu / conftest.py). Under --all
+    this config runs in a subprocess so the parent keeps its TPU backend.
+    """
     import os
     os.environ["JAX_PLATFORMS"] = "cpu"
-    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from aicamera_tpu.detector import YOLODetector
     det = YOLODetector()
     frame = _load_clip(1)[0]
@@ -255,16 +262,17 @@ def config6_streaming_e2e(chunk=32):
           note="includes decode+upload; tunnel-degraded lower bound")
 
 
-def config7_worst_case_load(frames_n=192):
+def config7_worst_case_load(frames_n=288):
     """Full tracking with a saturated 64-detection slate every frame
     (synthetic grid injected post-NMS): largest ReID bucket, full cascade,
-    full track table. The honest lower bound for crowded scenes."""
+    full track table. The honest lower bound for crowded scenes.
+    Chunk 96 matches bench.py's worst-case methodology (same program)."""
     import jax
     import jax.numpy as jnp
     from aicamera_tpu import config as cfg
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     arr = _load_clip(frames_n)
-    k = 32
+    k = 96
     pipe = TrackingPipeline(chunk_size=k,
                             synthetic_load=cfg.MAX_DETECTIONS)
     pipe.warm_up(arr.shape[1:3])
@@ -304,7 +312,14 @@ def main():
     args = ap.parse_args()
     targets = sorted(CONFIGS) if args.all else [args.config or 3]
     for t in targets:
-        if t == 5 and args.mesh:
+        if t == 1 and len(targets) > 1:
+            # config 1 forces the CPU backend, which cannot be undone in
+            # this process once other configs have touched the TPU —
+            # isolate it (also avoids two TPU-attached processes).
+            import subprocess
+            subprocess.run([sys.executable, __file__, "--config", "1"],
+                           check=False)
+        elif t == 5 and args.mesh:
             config5_yolov8m_1080p(mesh_spec=args.mesh)
         else:
             CONFIGS[t]()
