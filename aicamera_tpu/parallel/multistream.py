@@ -142,7 +142,7 @@ class MultiStreamPipeline:
         s = self.n_streams
 
         def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
-                             feats, crop_valid):
+                             feats, crop_valid, frame_valid=None):
             d_feats = jnp.zeros((n_det, p.feature_dim), jnp.float32)
             d_feats = d_feats.at[:n_crops].set(feats.astype(jnp.float32))
             d_hasfeat = jnp.zeros((n_det,), jnp.bool_).at[:n_crops].set(
@@ -152,8 +152,18 @@ class MultiStreamPipeline:
             dets = Detections(tlwh=tlwh, conf=d_conf, class_id=d_cls,
                               feature=d_feats, has_feature=d_hasfeat,
                               valid=d_valid)
-            state = core_tracker.predict(state, p)
-            state = core_tracker.update(state, dets, p)
+
+            def do(st):
+                st = core_tracker.predict(st, p)
+                return core_tracker.update(st, dets, p)
+
+            if frame_valid is None:
+                state = do(state)
+            else:
+                # invalid (stream, t) slots leave that stream's state
+                # untouched (multi-tenant serving: idle streams in a
+                # dispatch must not age their tracks)
+                state = jax.lax.cond(frame_valid, do, lambda st: st, state)
             return state, core_tracker.get_outputs(state)
 
         def compact_dets(num, boxes, scores, labels):
@@ -226,10 +236,14 @@ class MultiStreamPipeline:
             states, outs = jax.vmap(per_stream_track)(states, *dets)
             return states, outs
 
-        def chunk_step(yolo_params, reid_params, states, frames):
+        def chunk_step(yolo_params, reid_params, states, frames,
+                       frame_valid=None):
             # frames: (S, K, H, W, 3) — K frames per stream per dispatch.
             # All S*K frames ride one detection/ReID batch; the per-stream
             # tracker scans over time inside the same program.
+            # frame_valid (S, K) bool, optional: slots marked False leave
+            # their stream's state untouched (their outputs are garbage to
+            # be masked host-side) — the multi-tenant serving path.
             s_, k_ = frames.shape[:2]
             flat = frames.reshape(s_ * k_, *frames.shape[2:])
             dets = detect_and_embed(yolo_params, reid_params, flat)
@@ -237,6 +251,8 @@ class MultiStreamPipeline:
             dets = jax.tree.map(
                 lambda a: a.reshape(s_, k_, *a.shape[1:]).swapaxes(0, 1),
                 tuple(dets))
+            if frame_valid is not None:
+                dets = dets + (frame_valid.swapaxes(0, 1),)
 
             def body(st, per_t):
                 st, outs = jax.vmap(per_stream_track)(st, *per_t)
@@ -247,7 +263,7 @@ class MultiStreamPipeline:
             outs = jax.tree.map(lambda a: a.swapaxes(0, 1), outs)
             return states, outs
 
-        def jit_with_shardings(fn):
+        def jit_with_shardings(fn, n_extra_stream_args=0):
             if self.mesh is not None:
                 in_shardings = (
                     # actual placements (channel-sharded under a 2-D mesh)
@@ -257,11 +273,14 @@ class MultiStreamPipeline:
                         lambda _: NamedSharding(self.mesh, P("stream")),
                         self.states),
                     self._frames_sharding,
-                )
+                ) + (self._frames_sharding,) * n_extra_stream_args
                 return jax.jit(fn, in_shardings=in_shardings,
                                donate_argnums=(2,))
             return jax.jit(fn, donate_argnums=(2,))
 
+        self._jit_with_shardings = jit_with_shardings
+        self._chunk_step_raw = chunk_step
+        self._chunk_step_masked = None  # compiled on first masked use
         return jit_with_shardings(step), jit_with_shardings(chunk_step)
 
     def step(self, frames: np.ndarray):
@@ -281,11 +300,17 @@ class MultiStreamPipeline:
             self.yolo_params, self.reid_params, self.states, frames)
         return outs
 
-    def step_chunk(self, frames: np.ndarray):
+    def step_chunk(self, frames: np.ndarray,
+                   frame_valid: np.ndarray | None = None):
         """Advance all streams by K frames each (throughput mode).
 
         Args:
             frames: ``(S, K, H, W, 3)`` uint8 BGR.
+            frame_valid: optional ``(S, K)`` bool — False slots do not
+                advance their stream's tracker state (their output lanes
+                are garbage the caller must ignore). Used by the
+                multi-tenant service when streams produce frames at
+                different rates.
 
         Returns:
             per-stream track outputs, each with shape ``(S, K, ...)``.
@@ -293,6 +318,27 @@ class MultiStreamPipeline:
         frames = jnp.asarray(frames)
         if self._frames_sharding is not None:
             frames = jax.device_put(frames, self._frames_sharding)
-        self.states, outs = self._chunk_step(
-            self.yolo_params, self.reid_params, self.states, frames)
+        if frame_valid is None:
+            self.states, outs = self._chunk_step(
+                self.yolo_params, self.reid_params, self.states, frames)
+            return outs
+        if self._chunk_step_masked is None:
+            self._chunk_step_masked = self._jit_with_shardings(
+                self._chunk_step_raw, n_extra_stream_args=1)
+        fv = jnp.asarray(frame_valid, bool)
+        if self._frames_sharding is not None:
+            fv = jax.device_put(fv, self._frames_sharding)
+        self.states, outs = self._chunk_step_masked(
+            self.yolo_params, self.reid_params, self.states, frames, fv)
         return outs
+
+    def reset_stream(self, i: int):
+        """Reset one stream's tracker state in place (ids restart at 1).
+
+        Host-side slice update — only call between dispatches (the serving
+        worker does this when a stream slot is re-leased to a new tenant).
+        """
+        fresh = core_state.init_state(self.tracker_params)
+        self.states = jax.tree.map(
+            lambda full, f: full.at[i].set(f.astype(full.dtype)),
+            self.states, fresh)

@@ -15,14 +15,17 @@ batches submissions into fused chunks:
 
 from __future__ import annotations
 
+import collections
+import dataclasses
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .runtime.pipeline import TrackingPipeline
+from .runtime.pipeline import TrackingPipeline, _format_tracks
 
 
 class TrackingService:
@@ -137,3 +140,233 @@ class TrackingService:
                     item[0].set_exception(RuntimeError("service shut down"))
         except queue.Empty:
             pass
+
+
+# --- multi-tenant serving ------------------------------------------------
+
+
+@dataclasses.dataclass
+class StreamFrameResult:
+    """Per-frame result for one tenant stream."""
+    stream_id: int
+    frame_index: int   # per-stream frame counter
+    tracks: list       # [(x1, y1, x2, y2, track_id, class_name, conf), ...]
+
+
+_FREE, _ACTIVE, _DRAINING = 0, 1, 2
+
+
+class _StreamSlot:
+    __slots__ = ("state", "pending", "sla", "next_index", "needs_reset")
+
+    def __init__(self):
+        self.state = _FREE
+        self.pending = collections.deque()  # (Future, frame, arrival_ts)
+        self.sla = 0.0
+        self.next_index = 0
+        self.needs_reset = False
+
+
+class MultiTenantTrackingService:
+    """Tracking-as-a-service for many independent tenant video streams.
+
+    S fixed stream slots ride one :class:`MultiStreamPipeline`: every
+    dispatch batches up to ``chunk_size`` frames from each active stream
+    into a single fused device program (one YOLO batch over all tenants,
+    per-stream tracker states vmapped — see parallel/multistream.py), with
+    a per-(stream, frame) validity mask so tenants at different frame
+    rates never advance each other's tracker state.
+
+    Per-stream SLAs: each stream sets ``max_latency_ms`` at
+    :meth:`open_stream`; a dispatch fires as soon as any stream has a
+    full chunk queued OR any queued frame's SLA window expires, so a
+    15 fps webcam tenant and a 60 fps file tenant can share one device
+    without the slow one stalling the fast one.
+
+    Slots are leased: :meth:`close_stream` drains the tenant's queued
+    frames and frees the slot; the next :meth:`open_stream` re-leases it
+    with a fresh tracker state (ids restart at 1, reference
+    track.py:160). No analog exists in the reference (single stream,
+    single process, aicamera_tracker.py).
+    """
+
+    def __init__(self, n_streams: int = 4,
+                 frame_hw: Tuple[int, int] = (720, 1280),
+                 chunk_size: int = 4,
+                 max_latency_ms: float = 30.0,
+                 pipeline=None, **pipeline_kwargs):
+        if pipeline is None:
+            from .parallel import MultiStreamPipeline
+            pipeline = MultiStreamPipeline(
+                n_streams=n_streams, frame_hw=frame_hw, **pipeline_kwargs)
+        self.pipeline = pipeline
+        self.n_streams = int(pipeline.n_streams)
+        self.frame_hw = tuple(pipeline.frame_hw)
+        self.chunk_size = int(chunk_size)
+        self.default_sla = max_latency_ms / 1e3
+        self._slots = [_StreamSlot() for _ in range(self.n_streams)]
+        self._cond = threading.Condition()
+        self._running = True
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # --- client API ---------------------------------------------------------
+
+    def open_stream(self, max_latency_ms: float | None = None) -> int:
+        """Lease a free stream slot; returns its stream id.
+
+        The slot's tracker state is reset (by the worker, before the
+        stream's first frame is processed). Raises RuntimeError when all
+        slots are leased."""
+        with self._cond:
+            if not self._running:
+                raise RuntimeError("service is shut down")
+            for sid, slot in enumerate(self._slots):
+                if slot.state == _FREE:
+                    slot.state = _ACTIVE
+                    slot.sla = (self.default_sla if max_latency_ms is None
+                                else max_latency_ms / 1e3)
+                    slot.next_index = 0
+                    slot.needs_reset = True
+                    return sid
+        raise RuntimeError(
+            f"all {self.n_streams} stream slots are leased")
+
+    def submit(self, stream_id: int, frame_bgr: np.ndarray) -> Future:
+        """Enqueue one frame for a leased stream; Future of
+        StreamFrameResult."""
+        frame = np.asarray(frame_bgr)
+        if frame.shape != (*self.frame_hw, 3):
+            raise ValueError(
+                f"frame shape {frame.shape} != service shape "
+                f"{(*self.frame_hw, 3)} (all tenants share one compiled "
+                f"step; resize host-side)")
+        fut: Future = Future()
+        with self._cond:
+            if not self._running:
+                raise RuntimeError("service is shut down")
+            slot = self._slots[stream_id]
+            if slot.state != _ACTIVE:
+                raise RuntimeError(f"stream {stream_id} is not open")
+            slot.pending.append((fut, frame, time.perf_counter()))
+            self._cond.notify()
+        return fut
+
+    def close_stream(self, stream_id: int):
+        """Stop accepting frames for the stream; queued frames still
+        resolve, then the slot is freed for re-lease. Idempotent."""
+        with self._cond:
+            slot = self._slots[stream_id]
+            if slot.state == _ACTIVE:
+                slot.state = _DRAINING if slot.pending else _FREE
+                self._cond.notify()
+
+    def shutdown(self, timeout: float = 60.0):
+        """Drain all queued work and stop the worker. Idempotent."""
+        with self._cond:
+            if self._running:
+                self._running = False
+                self._cond.notify()
+        self._worker.join(timeout=timeout)
+
+    # --- worker --------------------------------------------------------------
+
+    def _dispatch_ready(self, now: float) -> bool:
+        """True when some queued frame must ride a dispatch now."""
+        for slot in self._slots:
+            if not slot.pending:
+                continue
+            if len(slot.pending) >= self.chunk_size:
+                return True
+            if now - slot.pending[0][2] >= slot.sla:
+                return True
+        return False
+
+    def _next_deadline(self, now: float) -> float:
+        """Seconds until the earliest SLA expiry (0.05 floor/idle cap)."""
+        deadline = 0.05
+        for slot in self._slots:
+            if slot.pending:
+                deadline = min(deadline,
+                               max(slot.pending[0][2] + slot.sla - now, 0.0))
+        return deadline
+
+    def _gather(self):
+        """Build one (S, K, H, W, 3) batch from queued frames. Lock held."""
+        k = self.chunk_size
+        frames = np.zeros((self.n_streams, k, *self.frame_hw, 3), np.uint8)
+        valid = np.zeros((self.n_streams, k), bool)
+        jobs = []  # (stream_id, t, future, frame_index)
+        for sid, slot in enumerate(self._slots):
+            if slot.needs_reset:
+                # safe here: the worker thread owns the device between
+                # dispatches, so no step is in flight over these states
+                self.pipeline.reset_stream(sid)
+                slot.needs_reset = False
+            for t in range(min(k, len(slot.pending))):
+                fut, frame, _ = slot.pending.popleft()
+                frames[sid, t] = frame
+                valid[sid, t] = True
+                jobs.append((sid, t, fut, slot.next_index))
+                slot.next_index += 1
+            if slot.state == _DRAINING and not slot.pending:
+                slot.state = _FREE
+        return frames, valid, jobs
+
+    def _resolve(self, inflight):
+        outs, jobs = inflight
+        try:
+            import jax
+            tlbr, ids, cls, conf, mask = jax.device_get(outs)
+            for sid, t, fut, fidx in jobs:
+                fut.set_result(StreamFrameResult(
+                    stream_id=sid, frame_index=fidx,
+                    tracks=_format_tracks(tlbr[sid, t], ids[sid, t],
+                                          cls[sid, t], conf[sid, t],
+                                          mask[sid, t])))
+        except Exception as e:  # pragma: no cover - device failure path
+            for _, _, fut, _ in jobs:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def _run(self):
+        inflight = None
+        while True:
+            with self._cond:
+                now = time.perf_counter()
+                # Wait until a dispatch is due, shutdown begins, or we go
+                # idle with an unresolved in-flight chunk to flush.
+                while self._running and not self._dispatch_ready(now):
+                    if inflight is not None and \
+                            not any(s.pending for s in self._slots):
+                        break  # idle: flush the outstanding chunk below
+                    self._cond.wait(timeout=self._next_deadline(now))
+                    now = time.perf_counter()
+                if not self._running and \
+                        not any(s.pending for s in self._slots):
+                    break
+                frames, valid, jobs = self._gather()
+            if jobs:
+                try:
+                    outs = self.pipeline.step_chunk(frames,
+                                                    frame_valid=valid)
+                    for leaf in outs:
+                        leaf.copy_to_host_async()
+                except Exception as e:  # pragma: no cover - device failure
+                    for _, _, fut, _ in jobs:
+                        fut.set_exception(e)
+                    continue
+                prev, inflight = inflight, (outs, jobs)
+                if prev is not None:
+                    self._resolve(prev)
+            elif inflight is not None:
+                self._resolve(inflight)
+                inflight = None
+        if inflight is not None:
+            self._resolve(inflight)
+        # reject anything that slipped in after the drain loop exited
+        with self._cond:
+            for slot in self._slots:
+                while slot.pending:
+                    fut, _, _ = slot.pending.popleft()
+                    fut.set_exception(RuntimeError("service shut down"))

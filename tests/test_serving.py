@@ -1,0 +1,143 @@
+"""Multi-tenant serving tests: slot leasing, per-stream SLAs, masked
+dispatch isolation, drain semantics.
+
+Uses tiny shapes (96x128 frames, 16-track tables) to keep CPU compiles
+tolerable; the masked multistream chunk step compiles once per service.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from aicamera_tpu import config
+from aicamera_tpu.core.state import TrackerParams
+
+SMALL_TP = TrackerParams(max_tracks=16, max_detections=8, nn_budget=4,
+                         max_age=10, feature_dim=config.REID_FEATURE_DIM)
+FRAME_HW = (96, 128)
+INPUT_HW = (128, 128)
+
+
+def _frames(n, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (*FRAME_HW, 3), np.uint8) for _ in range(n)]
+
+
+def test_masked_chunk_step_leaves_invalid_stream_untouched():
+    """frame_valid=False lanes must not advance that stream's tracker
+    state — bitwise — while valid lanes process normally."""
+    from aicamera_tpu.parallel import MultiStreamPipeline
+    pipe = MultiStreamPipeline(
+        n_streams=2, frame_hw=FRAME_HW, input_shape=INPUT_HW,
+        tracker_params=SMALL_TP, max_reid_crops=4)
+    before = jax.device_get(pipe.states)
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, (2, 3, *FRAME_HW, 3), np.uint8)
+    valid = np.array([[True, True, True], [False, False, False]])
+    outs = pipe.step_chunk(frames, frame_valid=valid)
+    jax.block_until_ready(outs)
+    after = jax.device_get(pipe.states)
+
+    # stream 1 (all-invalid): every state leaf bitwise unchanged
+    for name in ("active", "state", "mean", "cov", "hits", "age", "tsu",
+                 "track_id", "gallery", "gallery_count", "next_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(before, name))[1],
+            np.asarray(getattr(after, name))[1], err_msg=name)
+    # stream 0 processed: noise frames on the seeded-random detector yield
+    # detections, so its state advanced (tracks were initiated; noise
+    # tentatives may die again by the last frame, so check next_id, not
+    # active)
+    assert np.asarray(after.next_id)[0] > 1
+
+
+@pytest.fixture(scope="module")
+def svc():
+    from aicamera_tpu.serving import MultiTenantTrackingService
+    service = MultiTenantTrackingService(
+        n_streams=2, frame_hw=FRAME_HW, chunk_size=2, max_latency_ms=20.0,
+        input_shape=INPUT_HW, tracker_params=SMALL_TP, max_reid_crops=4)
+    yield service
+    service.shutdown()
+
+
+def test_multitenant_streams_resolve_independently(svc):
+    s0 = svc.open_stream()
+    s1 = svc.open_stream(max_latency_ms=10.0)
+    futs0 = [svc.submit(s0, f) for f in _frames(5, seed=1)]
+    futs1 = [svc.submit(s1, f) for f in _frames(2, seed=2)]
+    r0 = [f.result(timeout=300) for f in futs0]
+    r1 = [f.result(timeout=300) for f in futs1]
+    assert [r.frame_index for r in r0] == list(range(5))
+    assert [r.frame_index for r in r1] == list(range(2))
+    assert all(r.stream_id == s0 for r in r0)
+    assert all(r.stream_id == s1 for r in r1)
+    for r in r0 + r1:
+        assert isinstance(r.tracks, list)
+    svc.close_stream(s0)
+    svc.close_stream(s1)
+
+
+def test_slot_leasing_and_relize(svc):
+    a = svc.open_stream()
+    b = svc.open_stream()
+    with pytest.raises(RuntimeError, match="leased"):
+        svc.open_stream()
+    # closing with no queued frames frees the slot immediately
+    svc.close_stream(b)
+    with pytest.raises(RuntimeError, match="not open"):
+        svc.submit(b, _frames(1)[0])
+    c = svc.open_stream()
+    assert c == b  # re-leased
+    # fresh lease: per-stream frame counter restarts at 0
+    res = svc.submit(c, _frames(1)[0]).result(timeout=300)
+    assert res.frame_index == 0 and res.stream_id == c
+    svc.close_stream(a)
+    svc.close_stream(c)
+
+
+def test_submit_validates_shape_and_state(svc):
+    sid = svc.open_stream()
+    with pytest.raises(ValueError, match="frame shape"):
+        svc.submit(sid, np.zeros((10, 10, 3), np.uint8))
+    svc.close_stream(sid)
+    with pytest.raises(RuntimeError, match="not open"):
+        svc.submit(sid, _frames(1)[0])
+
+
+def test_close_drains_queued_frames(svc):
+    sid = svc.open_stream()
+    futs = [svc.submit(sid, f) for f in _frames(3, seed=4)]
+    svc.close_stream(sid)  # queued frames must still resolve
+    for i, f in enumerate(futs):
+        assert f.result(timeout=300).frame_index == i
+    # slot frees after the drain; eventually re-leasable
+    import time
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            again = svc.open_stream()
+            break
+        except RuntimeError:
+            time.sleep(0.05)
+    else:
+        pytest.fail("slot never freed after drain")
+    svc.close_stream(again)
+
+
+def test_shutdown_drains_and_rejects():
+    from aicamera_tpu.serving import MultiTenantTrackingService
+    service = MultiTenantTrackingService(
+        n_streams=2, frame_hw=FRAME_HW, chunk_size=2, max_latency_ms=10.0,
+        input_shape=INPUT_HW, tracker_params=SMALL_TP, max_reid_crops=4)
+    sid = service.open_stream()
+    futs = [service.submit(sid, f) for f in _frames(3, seed=5)]
+    service.shutdown()
+    for f in futs:
+        f.exception(timeout=300)  # resolved (result or exception), not hung
+    assert all(f.done() for f in futs)
+    with pytest.raises(RuntimeError, match="shut down"):
+        service.open_stream()
+    service.shutdown()  # idempotent
