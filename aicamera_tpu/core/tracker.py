@@ -39,15 +39,22 @@ from .state import CONFIRMED, TENTATIVE, Detections, TrackerParams, TrackerState
 
 @partial(jax.jit, static_argnames=("params",))
 def predict(state: TrackerState, params: TrackerParams) -> TrackerState:
-    """KF-predict all active tracks; age += 1, time_since_update += 1."""
-    new_mean, new_cov = kalman.predict(state.mean, state.cov)
-    act = state.active
-    return state.replace(
-        mean=jnp.where(act[:, None], new_mean, state.mean),
-        cov=jnp.where(act[:, None, None], new_cov, state.cov),
-        age=jnp.where(act, state.age + 1, state.age),
-        tsu=jnp.where(act, state.tsu + 1, state.tsu),
-    )
+    """KF-predict all active tracks; age += 1, time_since_update += 1.
+
+    Guarded by ``lax.cond`` on any-active: with no live tracks the whole
+    vmapped KF predict is dead work (empty-scene fast path — inside the
+    per-frame scan every op pays fixed sequencer overhead)."""
+    def do(st):
+        new_mean, new_cov = kalman.predict(st.mean, st.cov)
+        act = st.active
+        return st.replace(
+            mean=jnp.where(act[:, None], new_mean, st.mean),
+            cov=jnp.where(act[:, None, None], new_cov, st.cov),
+            age=jnp.where(act, st.age + 1, st.age),
+            tsu=jnp.where(act, st.tsu + 1, st.tsu),
+        )
+
+    return jax.lax.cond(jnp.any(state.active), do, lambda st: st, state)
 
 
 def _associate(state: TrackerState, dets: Detections, params: TrackerParams):
@@ -128,10 +135,34 @@ def update(state: TrackerState, dets: Detections,
     det_idx = jnp.clip(match, 0)
 
     # --- Matched tracks: KF correction + attribute updates ------------------
-    meas_xyah = tlwh_to_xyah(dets.tlwh)[det_idx]  # (T, 4)
-    up_mean, up_cov = kalman.update(state.mean, state.cov, meas_xyah)
-    mean = jnp.where(matched[:, None], up_mean, state.mean)
-    cov = jnp.where(matched[:, None, None], up_cov, state.cov)
+    # lax.cond-guarded: with no matches this frame, the vmapped Cholesky
+    # KF update over all T slots and the gallery ring write are dead work
+    # (exact skip — every consumer masks by `matched`).
+    def with_matches(_):
+        meas_xyah = tlwh_to_xyah(dets.tlwh)[det_idx]  # (T, 4)
+        up_mean, up_cov = kalman.update(state.mean, state.cov, meas_xyah)
+        mean = jnp.where(matched[:, None], up_mean, state.mean)
+        cov = jnp.where(matched[:, None, None], up_cov, state.cov)
+
+        # Gallery append (FIFO ring, reference track.py:70-74).
+        add_feat = matched & dets.has_feature[det_idx]
+        pos = state.gallery_next
+        new_feats = dets.feature[det_idx]  # (T, D)
+        cur = state.gallery[rows, pos]
+        gallery = state.gallery.at[rows, pos].set(
+            jnp.where(add_feat[:, None], new_feats, cur))
+        gallery_count = jnp.where(
+            add_feat, jnp.minimum(state.gallery_count + 1, g),
+            state.gallery_count)
+        gallery_next = jnp.where(add_feat, (pos + 1) % g, state.gallery_next)
+        return mean, cov, gallery, gallery_count, gallery_next
+
+    def no_matches(_):
+        return (state.mean, state.cov, state.gallery, state.gallery_count,
+                state.gallery_next)
+
+    mean, cov, gallery, gallery_count, gallery_next = jax.lax.cond(
+        jnp.any(matched), with_matches, no_matches, None)
 
     hits = jnp.where(matched, state.hits + 1, state.hits)
     tsu = jnp.where(matched, 0, state.tsu)
@@ -141,17 +172,6 @@ def update(state: TrackerState, dets: Detections,
         matched & (state.state == TENTATIVE) & (hits >= params.n_init),
         CONFIRMED, state.state)
 
-    # Gallery append (FIFO ring, reference track.py:70-74).
-    add_feat = matched & dets.has_feature[det_idx]
-    pos = state.gallery_next
-    new_feats = dets.feature[det_idx]  # (T, D)
-    cur = state.gallery[rows, pos]
-    gallery = state.gallery.at[rows, pos].set(
-        jnp.where(add_feat[:, None], new_feats, cur))
-    gallery_count = jnp.where(
-        add_feat, jnp.minimum(state.gallery_count + 1, g), state.gallery_count)
-    gallery_next = jnp.where(add_feat, (pos + 1) % g, state.gallery_next)
-
     # --- Unmatched tracks: mark_missed (track.py:106-119) -------------------
     missed = state.active & ~matched
     delete = missed & (
@@ -160,60 +180,84 @@ def update(state: TrackerState, dets: Detections,
     active = state.active & ~delete
 
     # --- Unmatched detections: initiate new tracks --------------------------
+    # lax.cond-guarded: frames with no new detections skip the KF initiate
+    # over all N det slots and the dozen scatters (exact skip — with
+    # new_det all-False every scatter would drop everything anyway).
     new_det = det_unmatched & dets.valid
-    free = ~active
-    n_free = jnp.sum(free)
-    # slot_of_rank[r] = index of the r-th free slot.
-    slot_rank = jnp.cumsum(free) - 1
-    slot_of_rank = jnp.full((t + 1,), t, jnp.int32).at[
-        jnp.where(free, slot_rank, t)].set(rows.astype(jnp.int32))[:t]
 
-    det_rank = jnp.cumsum(new_det) - 1  # rank among new detections
-    can_place = new_det & (det_rank < n_free)
-    dropped = jnp.sum(new_det & ~can_place)
-    slot_for_det = jnp.where(
-        can_place, slot_of_rank[jnp.clip(det_rank, 0, t - 1)], t)  # t = dump
+    def initiate_new(ops):
+        (active, st, mean, cov, hits, tsu, class_id, conf,
+         gallery, gallery_count, gallery_next) = ops
+        free = ~active
+        n_free = jnp.sum(free)
+        # slot_of_rank[r] = index of the r-th free slot.
+        slot_rank = jnp.cumsum(free) - 1
+        slot_of_rank = jnp.full((t + 1,), t, jnp.int32).at[
+            jnp.where(free, slot_rank, t)].set(rows.astype(jnp.int32))[:t]
 
-    init_mean, init_cov = kalman.initiate(tlwh_to_xyah(dets.tlwh))  # (N, ...)
-    new_ids = state.next_id + det_rank.astype(jnp.int32)
+        det_rank = jnp.cumsum(new_det) - 1  # rank among new detections
+        can_place = new_det & (det_rank < n_free)
+        dropped = jnp.sum(new_det & ~can_place).astype(jnp.int32)
+        slot_for_det = jnp.where(
+            can_place, slot_of_rank[jnp.clip(det_rank, 0, t - 1)], t)  # t=dump
 
-    def scatter(arr, values):
-        """Scatter per-detection values into track slots.
+        init_mean, init_cov = kalman.initiate(tlwh_to_xyah(dets.tlwh))
+        new_ids = state.next_id + det_rank.astype(jnp.int32)
 
-        Unplaceable detections carry slot index ``t`` (out of bounds);
-        ``mode="drop"`` discards them in the scatter itself — no
-        concatenate/pad/slice copies of the (potentially large) target
-        array per frame.
-        """
-        return arr.at[slot_for_det].set(values.astype(arr.dtype),
-                                        mode="drop")
+        def scatter(arr, values):
+            """Scatter per-detection values into track slots.
 
-    active = scatter(active, jnp.ones_like(new_det))
-    st = scatter(st, jnp.full_like(det_rank, TENTATIVE))
-    mean = scatter(mean, init_mean)
-    cov = scatter(cov, init_cov)
-    hits = scatter(hits, jnp.ones_like(det_rank))
-    age = scatter(state.age, jnp.ones_like(det_rank))
-    tsu = scatter(tsu, jnp.zeros_like(det_rank))
-    track_id = scatter(state.track_id, new_ids)
-    class_id = scatter(class_id, dets.class_id)
-    conf = scatter(conf, dets.conf)
+            Unplaceable detections carry slot index ``t`` (out of bounds);
+            ``mode="drop"`` discards them in the scatter itself — no
+            concatenate/pad/slice copies of the (potentially large) target
+            array per frame.
+            """
+            return arr.at[slot_for_det].set(values.astype(arr.dtype),
+                                            mode="drop")
 
-    # Seed gallery with the initiating detection's feature (track.py:63-64).
-    # Only position 0 is written; anything a previous slot occupant left
-    # beyond gallery_count is dead data — every reader masks by
-    # gallery_valid = arange(G) < gallery_count (costs.py:114-137), and the
-    # FIFO append writes each position before count makes it valid. This
-    # avoids materializing a (N, G, D) zero tensor and scattering full
-    # gallery rows (G*D floats per detection) every frame.
-    seed = dets.has_feature
-    gallery = gallery.at[slot_for_det, 0].set(
-        jnp.where(seed[:, None], dets.feature, 0.0).astype(gallery.dtype),
-        mode="drop")
-    gallery_count = scatter(gallery_count, seed.astype(jnp.int32))
-    gallery_next = scatter(gallery_next, seed.astype(jnp.int32) % g)
+        active = scatter(active, jnp.ones_like(new_det))
+        st = scatter(st, jnp.full_like(det_rank, TENTATIVE))
+        mean = scatter(mean, init_mean)
+        cov = scatter(cov, init_cov)
+        hits = scatter(hits, jnp.ones_like(det_rank))
+        age = scatter(state.age, jnp.ones_like(det_rank))
+        tsu = scatter(tsu, jnp.zeros_like(det_rank))
+        track_id = scatter(state.track_id, new_ids)
+        class_id = scatter(class_id, dets.class_id)
+        conf = scatter(conf, dets.conf)
 
-    n_new = jnp.sum(can_place).astype(jnp.int32)
+        # Seed gallery with the initiating detection's feature
+        # (track.py:63-64). Only position 0 is written; anything a previous
+        # slot occupant left beyond gallery_count is dead data — every
+        # reader masks by gallery_valid = arange(G) < gallery_count
+        # (costs.py:114-137), and the FIFO append writes each position
+        # before count makes it valid. This avoids materializing a
+        # (N, G, D) zero tensor and scattering full gallery rows (G*D
+        # floats per detection) every frame.
+        seed = dets.has_feature
+        gallery = gallery.at[slot_for_det, 0].set(
+            jnp.where(seed[:, None], dets.feature, 0.0).astype(gallery.dtype),
+            mode="drop")
+        gallery_count = scatter(gallery_count, seed.astype(jnp.int32))
+        gallery_next = scatter(gallery_next, seed.astype(jnp.int32) % g)
+
+        n_new = jnp.sum(can_place).astype(jnp.int32)
+        return (active, st, mean, cov, hits, age, tsu, track_id, class_id,
+                conf, gallery, gallery_count, gallery_next, n_new, dropped)
+
+    def no_new(ops):
+        (active, st, mean, cov, hits, tsu, class_id, conf,
+         gallery, gallery_count, gallery_next) = ops
+        return (active, st, mean, cov, hits, state.age, tsu,
+                state.track_id, class_id, conf, gallery, gallery_count,
+                gallery_next, jnp.int32(0), jnp.int32(0))
+
+    (active, st, mean, cov, hits, age, tsu, track_id, class_id, conf,
+     gallery, gallery_count, gallery_next, n_new, dropped) = jax.lax.cond(
+        jnp.any(new_det), initiate_new, no_new,
+        (active, st, mean, cov, hits, tsu, class_id, conf,
+         gallery, gallery_count, gallery_next))
+
     return state.replace(
         active=active, state=st, mean=mean, cov=cov,
         hits=hits, age=age, tsu=tsu,
