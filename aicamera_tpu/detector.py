@@ -17,8 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import config
-from .models.yolov8 import decode_predictions
-from .ops.nms import batched_nms
+from .ops.nms import fused_decode_nms
 from .ops.preprocess import letterbox_spec, preprocess_yolo, scale_boxes_back
 from .runtime.engine import XLAEngine, enable_persistent_cache
 from .runtime.params import resolve_yolo_params
@@ -56,9 +55,8 @@ class YOLODetector:
         def step(params, frame_u8):
             x = preprocess_yolo(frame_u8, spec, out_dtype=self._dtype)
             levels = self.model.apply(params, x)
-            boxes_lb, scores = decode_predictions(levels, self.input_shape)
-            num, nboxes, nscores, nlabels = batched_nms(
-                boxes_lb, scores,
+            num, nboxes, nscores, nlabels = fused_decode_nms(
+                levels,
                 score_threshold=config.YOLO_NMS_SCORE_THRESHOLD,
                 iou_threshold=self.nms_threshold,
                 top_k=config.YOLO_NMS_TOPK,

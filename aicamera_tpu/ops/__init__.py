@@ -9,10 +9,10 @@ at ~30 FPS end-to-end (SURVEY.md §6).
 
 from .preprocess import (LetterboxSpec, letterbox, letterbox_spec,
                          preprocess_yolo, scale_boxes_back)
-from .nms import batched_nms
+from .nms import batched_nms, fused_decode_nms
 from .crops import extract_reid_crops
 
 __all__ = [
     "LetterboxSpec", "letterbox", "letterbox_spec", "preprocess_yolo", "scale_boxes_back",
-    "batched_nms", "extract_reid_crops",
+    "batched_nms", "fused_decode_nms", "extract_reid_crops",
 ]

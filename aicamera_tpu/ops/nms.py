@@ -68,20 +68,13 @@ def _greedy_keep(overlap: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return kept
 
 
-@partial(jax.jit, static_argnames=("top_k", "max_det"))
-def _nms_single(boxes, scores_cls, score_threshold, iou_threshold,
-                top_k: int, max_det: int):
-    """NMS for one image. boxes (A,4), scores_cls (A,C)."""
-    best_score = jnp.max(scores_cls, axis=-1)
-    best_cls = jnp.argmax(scores_cls, axis=-1).astype(jnp.int32)
-    valid = best_score >= score_threshold
-    cand_score = jnp.where(valid, best_score, -1.0)
+def _suppress_and_emit(k_boxes, k_score, k_cls, k_valid, iou_threshold,
+                       top_k: int, max_det: int):
+    """Shared NMS tail: class-shift, greedy suppression, top-max_det emit.
 
-    k_score, k_idx = lax.top_k(cand_score, top_k)  # (K,)
-    k_boxes = boxes[k_idx]
-    k_cls = best_cls[k_idx]
-    k_valid = k_score > 0
-
+    Inputs are the score-ordered top-k candidates of one image; the output
+    is the reference engine's ``(num, boxes, scores, labels)`` contract.
+    """
     shifted = k_boxes + (k_cls.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
     overlap = _pairwise_iou_xyxy(shifted) > iou_threshold  # (K, K)
     kept = _greedy_keep(overlap, k_valid)
@@ -100,6 +93,103 @@ def _nms_single(boxes, scores_cls, score_threshold, iou_threshold,
     out_score = jnp.where(out_valid, out_score, 0.0)
     num = jnp.sum(out_valid).astype(jnp.int32)
     return num, out_boxes, out_score, out_cls
+
+
+@partial(jax.jit, static_argnames=("top_k", "max_det"))
+def _nms_single(boxes, scores_cls, score_threshold, iou_threshold,
+                top_k: int, max_det: int):
+    """NMS for one image. boxes (A,4), scores_cls (A,C)."""
+    best_score = jnp.max(scores_cls, axis=-1)
+    best_cls = jnp.argmax(scores_cls, axis=-1).astype(jnp.int32)
+    valid = best_score >= score_threshold
+    cand_score = jnp.where(valid, best_score, -1.0)
+
+    k_score, k_idx = lax.top_k(cand_score, top_k)  # (K,)
+    k_boxes = boxes[k_idx]
+    k_cls = best_cls[k_idx]
+    k_valid = k_score > 0
+    return _suppress_and_emit(k_boxes, k_score, k_cls, k_valid,
+                              iou_threshold, top_k, max_det)
+
+
+def _anchor_tables(level_hw, strides):
+    """Flat per-anchor (cx, cy) cell centers and stride, as f32 arrays.
+
+    Static per (level shapes, strides) pair — computed in NumPy at trace
+    time and embedded as constants.
+    """
+    import numpy as np
+    centers, stride_tab = [], []
+    for (h, w), s in zip(level_hw, strides):
+        ys = np.arange(h, dtype=np.float32) + 0.5
+        xs = np.arange(w, dtype=np.float32) + 0.5
+        cx = np.tile(xs, h)
+        cy = np.repeat(ys, w)
+        centers.append(np.stack([cx, cy], axis=-1))
+        stride_tab.append(np.full(h * w, s, np.float32))
+    return (jnp.asarray(np.concatenate(centers)),
+            jnp.asarray(np.concatenate(stride_tab)))
+
+
+def fused_decode_nms(level_outputs, score_threshold: float = 0.25,
+                     iou_threshold: float = 0.5, top_k: int = 300,
+                     max_det: int = 100, strides=(8, 16, 32)):
+    """Decode + NMS fused: DFL box decoding only for the top-k candidates.
+
+    Takes the raw YOLOv8 head outputs (per-level ``(box_bins, cls_logits)``)
+    and produces the same ``(num, boxes, scores, labels)`` contract as
+    :func:`decode_predictions` + :func:`batched_nms` — but candidate
+    selection runs on the class logits directly (sigmoid is monotone, so
+    max/top-k commute with it), and the DFL softmax + box arithmetic touch
+    only the ``top_k`` selected anchors instead of all ~8400. This removes
+    the full-anchor f32 score/box materialization that made the split
+    decode+NMS HBM-bound (measured 9.2 ms -> ~2 ms per 96-frame chunk on
+    v5e; the reference bakes the equivalent fusion into its TensorRT engine,
+    ``yolo_detector.py:100-112``).
+
+    Tie-breaking note: labels come from ``argmax`` over logits, where the
+    split path argmaxes over f32 sigmoid scores. These differ only when two
+    class logits exceed ~17 and their sigmoids round to the same f32 value —
+    the logit argmax is then the more precise one.
+    """
+    reg_max = level_outputs[0][0].shape[-1] // 4
+    level_hw = tuple((bb.shape[1], bb.shape[2]) for bb, _ in level_outputs)
+    batch = level_outputs[0][0].shape[0]
+    nbins = 4 * reg_max
+
+    bins = jnp.concatenate(
+        [bb.reshape(batch, -1, nbins) for bb, _ in level_outputs], axis=1)
+    logits = jnp.concatenate(
+        [cl.reshape(batch, cl.shape[1] * cl.shape[2], cl.shape[-1])
+         for _, cl in level_outputs], axis=1)
+    a = bins.shape[1]
+    k = min(top_k, a)
+    centers, stride_tab = _anchor_tables(level_hw, strides)
+    dfl_bins = jnp.arange(reg_max, dtype=jnp.float32)
+
+    def single(bins_a, logits_a):
+        best_logit = jnp.max(logits_a, axis=-1)
+        best_cls = jnp.argmax(logits_a, axis=-1).astype(jnp.int32)
+        best_score = jax.nn.sigmoid(best_logit.astype(jnp.float32))
+        valid = best_score >= score_threshold
+        cand_score = jnp.where(valid, best_score, -1.0)
+
+        k_score, k_idx = lax.top_k(cand_score, k)
+        k_bins = bins_a[k_idx].astype(jnp.float32).reshape(k, 4, reg_max)
+        dist = jnp.sum(jax.nn.softmax(k_bins, axis=-1) * dfl_bins, axis=-1)
+        ctr = centers[k_idx]                      # (K, 2) cell units
+        st = stride_tab[k_idx]                    # (K,)
+        k_boxes = jnp.stack(
+            [(ctr[:, 0] - dist[:, 0]) * st,
+             (ctr[:, 1] - dist[:, 1]) * st,
+             (ctr[:, 0] + dist[:, 2]) * st,
+             (ctr[:, 1] + dist[:, 3]) * st], axis=-1)
+        k_cls = best_cls[k_idx]
+        k_valid = k_score > 0
+        return _suppress_and_emit(k_boxes, k_score, k_cls, k_valid,
+                                  jnp.float32(iou_threshold), k, max_det)
+
+    return jax.vmap(single)(bins, logits)
 
 
 def batched_nms(boxes: jnp.ndarray, scores_cls: jnp.ndarray,

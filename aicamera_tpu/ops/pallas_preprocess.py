@@ -84,13 +84,27 @@ def _kernel(plane_ref, wy_ref, wx_ref, inside_y_ref, inside_x_ref,
     # then (TILE, src_w) @ (src_w, dst_w); the epilogue fuses round /
     # normalize / pad on the VPU. cv2 resizes in uint8 and rounds between
     # passes; we round once at the end (sub-LSB difference vs cv2).
-    rows = jnp.dot(wy_ref[:], plane_ref[0, :, :],
-                   preferred_element_type=jnp.float32)
-    resized = jnp.dot(rows, wx_ref[:], preferred_element_type=jnp.float32)
-    mask = inside_y_ref[0, :, :] * inside_x_ref[0, :, :]  # (TILE,1)x(1,W)
-    out = jnp.clip(jnp.round(resized), 0.0, 255.0) / 255.0
-    out_ref[0, :, :] = (out * mask + pad_val * (1.0 - mask)).astype(
-        out_ref.dtype)
+    #
+    # Letterbox pad rows are all-zero in wy: tiles made entirely of pad
+    # rows (40% of the canvas for the standard 540p/720p/1080p -> 640x640
+    # geometries, top/bottom bands of 140 rows) skip both matmuls and just
+    # write the pad constant — the resize is MXU-bound, so this is a
+    # proportional cut.
+    has_content = jnp.any(inside_y_ref[0, :, 0] > 0)
+
+    @pl.when(has_content)
+    def _content():
+        rows = jnp.dot(wy_ref[:], plane_ref[0, :, :],
+                       preferred_element_type=jnp.float32)
+        resized = jnp.dot(rows, wx_ref[:], preferred_element_type=jnp.float32)
+        mask = inside_y_ref[0, :, :] * inside_x_ref[0, :, :]  # (T,1)x(1,W)
+        out = jnp.clip(jnp.round(resized), 0.0, 255.0) / 255.0
+        out_ref[0, :, :] = (out * mask + pad_val * (1.0 - mask)).astype(
+            out_ref.dtype)
+
+    @pl.when(jnp.logical_not(has_content))
+    def _pad():
+        out_ref[0, :, :] = jnp.full_like(out_ref[0, :, :], pad_val)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "out_dtype"))

@@ -29,9 +29,8 @@ from .. import config
 from ..core import state as core_state
 from ..core import tracker as core_tracker
 from ..core.state import Detections, TrackerParams
-from ..models.yolov8 import decode_predictions
 from ..ops.crops import extract_reid_crops
-from ..ops.nms import batched_nms
+from ..ops.nms import fused_decode_nms
 from ..ops.pallas_preprocess import preprocess_yolo_pallas
 from ..ops.preprocess import letterbox_spec, preprocess_yolo, scale_boxes_back
 from ..runtime.params import resolve_reid_params, resolve_yolo_params
@@ -190,9 +189,8 @@ class MultiStreamPipeline:
                 lambda f: self._preprocess(f, spec, out_dtype=self._dtype)[0]
             )(frames)
             levels = self.yolo.apply(yolo_params, x)
-            boxes_lb, scores = decode_predictions(levels, self.input_shape)
-            num, nboxes, nscores, nlabels = batched_nms(
-                boxes_lb, scores,
+            num, nboxes, nscores, nlabels = fused_decode_nms(
+                levels,
                 score_threshold=config.YOLO_NMS_SCORE_THRESHOLD,
                 iou_threshold=self.nms_threshold,
                 top_k=config.YOLO_NMS_TOPK,

@@ -7,7 +7,7 @@ import pytest
 
 from aicamera_tpu.ops.preprocess import (letterbox_spec, preprocess_yolo,
                                          scale_boxes_back)
-from aicamera_tpu.ops.nms import batched_nms
+from aicamera_tpu.ops.nms import batched_nms, fused_decode_nms
 from aicamera_tpu.ops.crops import extract_reid_crops
 
 
@@ -65,6 +65,29 @@ def test_pallas_preprocess_bitmatches_xla():
     # within one uint8 LSB (Mosaic and XLA may schedule the matmuls with
     # different accumulation precision)
     assert np.abs(ours - ref).max() * 255 <= 1.5
+
+
+def test_pallas_preprocess_pad_tile_skip():
+    """Geometry where whole 64-row tiles are pure padding (the kernel's
+    skip-matmul fast path): content must match XLA, pad rows must be
+    114/255 exactly."""
+    from aicamera_tpu.ops.pallas_preprocess import preprocess_yolo_pallas
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.RandomState(2)
+    frame = rng.randint(0, 256, (16, 128, 3), np.uint8)
+    spec = letterbox_spec((16, 128), (192, 128))  # content rows 88..103
+    ref = np.asarray(jax.jit(
+        lambda f: preprocess_yolo(f, spec, jnp.float32))(jnp.asarray(frame)))
+    if jax.default_backend() != "tpu":
+        with pltpu.force_tpu_interpret_mode():
+            ours = np.asarray(preprocess_yolo_pallas(
+                jnp.asarray(frame), spec, jnp.float32))
+    else:  # pragma: no cover - real TPU path
+        ours = np.asarray(preprocess_yolo_pallas(
+            jnp.asarray(frame), spec, jnp.float32))
+    assert np.abs(ours - ref).max() * 255 <= 1.5
+    np.testing.assert_allclose(ours[0, :64], 114.0 / 255.0, rtol=1e-6)
+    np.testing.assert_allclose(ours[0, 128:], 114.0 / 255.0, rtol=1e-6)
 
 
 def test_scale_boxes_back_roundtrip():
@@ -140,6 +163,48 @@ def test_nms_class_aware():
         0.25, 0.5, 8, 4)
     assert int(num[0]) == 2
     assert sorted(np.asarray(ocl[0][:2]).tolist()) == [0, 1]
+
+
+def test_fused_decode_nms_matches_split_path():
+    """The fused top-k decode+NMS must reproduce decode_predictions +
+    batched_nms exactly (same candidates, boxes, scores, labels)."""
+    from aicamera_tpu.models.yolov8 import decode_predictions
+
+    rng = np.random.RandomState(7)
+    b, nc, reg = 3, 6, 16
+    input_hw = (64, 64)
+    levels = []
+    for s in (8, 16, 32):
+        h, w = input_hw[0] // s, input_hw[1] // s
+        bins = rng.randn(b, h, w, 4 * reg).astype(np.float32) * 2
+        logits = rng.randn(b, h, w, nc).astype(np.float32) * 3
+        levels.append((jnp.asarray(bins), jnp.asarray(logits)))
+
+    boxes, scores = decode_predictions(levels, input_hw)
+    ref = batched_nms(boxes, scores, score_threshold=0.25,
+                      iou_threshold=0.5, top_k=48, max_det=16)
+    got = fused_decode_nms(levels, score_threshold=0.25,
+                           iou_threshold=0.5, top_k=48, max_det=16)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+
+
+def test_fused_decode_nms_empty_scene():
+    b, nc = 2, 3
+    input_hw = (64, 64)
+    levels = []
+    for s in (8, 16, 32):
+        h, w = input_hw[0] // s, input_hw[1] // s
+        levels.append((jnp.zeros((b, h, w, 64)),
+                       jnp.full((b, h, w, nc), -20.0)))
+    num, ob, osc, ocl = fused_decode_nms(levels, score_threshold=0.25,
+                                         iou_threshold=0.5, top_k=32,
+                                         max_det=8)
+    assert int(np.asarray(num).sum()) == 0
 
 
 def test_crops_match_cv2():
