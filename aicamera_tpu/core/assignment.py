@@ -109,15 +109,45 @@ def solve_square(cost: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
     """
     n = cost.shape[0]
     cost = cost.astype(jnp.float32)
-    u = jnp.zeros((n,), jnp.float32)
-    v = jnp.zeros((n,), jnp.float32)
-    col4row = jnp.full((n,), -1, jnp.int32)
-    row4col = jnp.full((n,), -1, jnp.int32)
 
-    # Compact eligible row indices to the front, preserving index order
-    # (stable sort) so the augmentation order matches row order.
-    order = jnp.argsort(~row_mask, stable=True).astype(jnp.int32)
-    n_eligible = jnp.sum(row_mask).astype(jnp.int32)
+    # --- Row-argmin pre-assignment (vectorized) -----------------------------
+    # Each eligible row claims its own cheapest column; collisions resolve
+    # to the smallest row index and the losers go through the normal
+    # augmenting phase. Soundness: with duals u_i = rowmin_i (claim
+    # winners), u_i = 0 (others), v = 0, all reduced costs are >= 0 (costs
+    # are non-negative), every pre-assigned pair is tight, and v is zero on
+    # every unmatched column — exactly the invariants the augmenting phase
+    # preserves (its dual updates only lower v of scanned *matched*
+    # columns, and the sink's v is unchanged since spc[sink] == min_val),
+    # so the rectangular-Hungarian optimality certificate (v = 0 on
+    # unmatched columns) holds at termination. NOTE: classical JV *column*
+    # reduction (v[j] = column min) is NOT sound for this masked
+    # rectangular problem — it leaves positive v on unmatched columns,
+    # which breaks that certificate.
+    #
+    # In the common near-diagonal tracking case (every detection close to
+    # exactly one track) every row wins a distinct column and ZERO
+    # sequential augmenting passes run — this is what keeps the per-frame
+    # scan cheap under saturated load, where each augment is a sequential
+    # while-loop paying fixed sequencer overhead per iteration.
+    rows = jnp.arange(n, dtype=jnp.int32)
+    rowmin = jnp.min(cost, axis=1)
+    jmin = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    winner = jnp.full((n,), n, jnp.int32).at[
+        jnp.where(row_mask, jmin, n)].min(rows, mode="drop")
+    assigned = row_mask & (winner[jmin] == rows)
+    col4row = jnp.where(assigned, jmin, -1)
+    row4col = jnp.full((n,), -1, jnp.int32).at[
+        jnp.where(assigned, jmin, n)].set(
+        jnp.where(assigned, rows, -1), mode="drop")
+    u = jnp.where(assigned, rowmin, 0.0).astype(jnp.float32)
+    v = jnp.zeros((n,), jnp.float32)
+
+    # Compact still-unassigned eligible row indices to the front, preserving
+    # index order (stable sort) so the augmentation order matches row order.
+    todo = row_mask & ~assigned
+    order = jnp.argsort(~todo, stable=True).astype(jnp.int32)
+    n_eligible = jnp.sum(todo).astype(jnp.int32)
 
     def cond_fn(carry):
         return carry[0] < n_eligible
