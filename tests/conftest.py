@@ -22,9 +22,11 @@ if "xla_force_host_platform_device_count" not in flags:
 # environment; the cache makes repeat suite runs compile-free.
 _cache = Path.home() / ".cache" / "aicamera_tpu" / "xla_cache_tests"
 _cache.mkdir(parents=True, exist_ok=True)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: the JAX_COMPILATION_CACHE_DIR env var is silently ignored by this
+# jax version — only the explicit config update enables the cache.
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
