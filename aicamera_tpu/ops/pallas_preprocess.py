@@ -5,18 +5,25 @@ One kernel pass fuses everything the reference does on the host with cv2
 /255 normalize, dtype convert) and that the XLA path does as several ops:
 
 - **both resample passes as MXU matmuls** against precomputed bilinear
-  weight matrices — (tile, src_h) @ (src_h, src_w) vertical, then
-  (tile, src_w) @ (src_w, dst_w) horizontal,
+  weight matrices — vertical against a per-tile *windowed* weight slice
+  (the bilinear matrix is 2-banded, so a 64-row output tile only reads a
+  ~`WIN` source-row window: (tile, WIN) @ (WIN, src_w) instead of
+  (tile, src_h) @ (src_h, src_w)), then (tile, src_w) @ (src_w, dst_w)
+  horizontal,
 - pad region fill, BGR->RGB (grid channel remap), and [0,1] normalization
-  in the fused epilogue (VPU) — no full-frame f32 intermediate in HBM.
+  in the fused epilogue (VPU) — no full-frame f32 intermediate in HBM,
+- tiles made entirely of letterbox padding (40% of the canvas for the
+  standard 540p/720p/1080p -> 640x640 geometries) skip both matmuls and
+  write the pad constant.
 
 Input is the raw uint8 BGR frame; output is the planar (3, dst, dst)
 normalized RGB tensor (transposed to NHWC by XLA afterwards).
 
 Grid: (channels, row-tiles of 64 output rows). The whole source plane and
-both weight matrices sit in VMEM; frames too large for the f32 budget
-stage in bf16, and frames too large for even that fall back to the XLA
-path with identical semantics.
+both weight tensors sit in VMEM; the per-tile window offsets live in SMEM
+(scalars for the dynamic-slice starts). Frames too large for the f32
+budget stage in bf16, and frames too large for even that fall back to the
+XLA path with identical semantics.
 """
 
 from __future__ import annotations
@@ -35,9 +42,8 @@ from .preprocess import LetterboxSpec
 _ROW_TILE = 64
 
 
-def _vertical_weights(spec: LetterboxSpec):
-    """(dst_h, src_h) bilinear matrix for the vertical pass (+ content
-    mask); pad rows are all-zero."""
+def _vertical_geometry(spec: LetterboxSpec):
+    """Static vertical bilinear geometry: per-output-row flags/taps."""
     dst_h = spec.dst_hw[0]
     src_h = spec.src_hw[0]
     uh = spec.unpad_hw[0]
@@ -45,15 +51,60 @@ def _vertical_weights(spec: LetterboxSpec):
     inside = (oy >= spec.top) & (oy < spec.top + uh)
     sy = (oy - spec.top + 0.5) * (src_h / uh) - 0.5
     sy = np.clip(sy, 0.0, src_h - 1)
-    w = np.zeros((dst_h, src_h), np.float32)
-    y0 = np.floor(sy).astype(np.int32)
+    y0 = np.minimum(np.floor(sy).astype(np.int64), src_h - 1)
     frac = (sy - y0).astype(np.float32)
-    for d in np.nonzero(inside)[0]:
-        i0 = min(int(y0[d]), src_h - 1)
-        i1 = min(i0 + 1, src_h - 1)
-        w[d, i0] += 1.0 - frac[d]
-        w[d, i1] += frac[d]
-    return w, inside.astype(np.float32)
+    return inside, y0, frac
+
+
+def _vertical_windows(spec: LetterboxSpec, row_tile: int):
+    """Per-tile windowed vertical weights.
+
+    Returns ``(los (n_tiles,) i32, wy (n_tiles, row_tile, WIN) f32,
+    inside (dst_h,) f32)`` such that a tile's content rows are
+    ``wy[t] @ plane[los[t] : los[t] + WIN]`` — exact, because the bilinear
+    matrix has 2 taps per row and consecutive output rows read
+    monotonically increasing source rows.
+    """
+    src_h = spec.src_hw[0]
+    dst_h = spec.dst_hw[0]
+    inside, y0, frac = _vertical_geometry(spec)
+    n_tiles = dst_h // row_tile
+
+    spans = [8]
+    tile_lo = np.zeros(n_tiles, np.int64)
+    for t in range(n_tiles):
+        rows = np.arange(t * row_tile, (t + 1) * row_tile)
+        c = inside[rows]
+        if not c.any():
+            continue
+        lo = int(y0[rows[c]].min()) & ~7  # sublane-aligned window start
+        hi = min(int(y0[rows[c]].max()) + 1, src_h - 1)
+        tile_lo[t] = lo
+        spans.append(hi - lo + 1)
+    # Window size such that every 8-aligned start fits: tiles whose natural
+    # window would run past src_h clamp their start to lo_base; win is
+    # exactly src_h - lo_base so the clamped window ends at src_h. (win is
+    # NOT required to be a multiple of 8 — only the dynamic start is.)
+    lo_base = (src_h - max(spans)) & ~7
+    win = src_h - lo_base
+
+    los = np.zeros(n_tiles, np.int32)
+    wy = np.zeros((n_tiles, row_tile, win), np.float32)
+    for t in range(n_tiles):
+        rows = np.arange(t * row_tile, (t + 1) * row_tile)
+        if not inside[rows].any():
+            continue
+        lo = int(min(tile_lo[t], lo_base))
+        los[t] = lo // 8  # stored in units of 8 rows (see _kernel)
+        for k, o in enumerate(rows):
+            if not inside[o]:
+                continue
+            i0 = int(y0[o])
+            i1 = min(i0 + 1, src_h - 1)
+            assert lo <= i0 and i1 - lo < win, (t, o, lo, i0, i1, win)
+            wy[t, k, i0 - lo] += 1.0 - frac[o]
+            wy[t, k, i1 - lo] += frac[o]
+    return los, wy, inside.astype(np.float32)
 
 
 def _horizontal_weights(spec: LetterboxSpec) -> np.ndarray:
@@ -78,24 +129,25 @@ def _horizontal_weights(spec: LetterboxSpec) -> np.ndarray:
     return w, inside.astype(np.float32)
 
 
-def _kernel(plane_ref, wy_ref, wx_ref, inside_y_ref, inside_x_ref,
-            out_ref, *, pad_val: float):
-    # Both resample passes are MXU matmuls: (TILE, src_h) @ (src_h, src_w)
-    # then (TILE, src_w) @ (src_w, dst_w); the epilogue fuses round /
-    # normalize / pad on the VPU. cv2 resizes in uint8 and rounds between
-    # passes; we round once at the end (sub-LSB difference vs cv2).
-    #
-    # Letterbox pad rows are all-zero in wy: tiles made entirely of pad
-    # rows (40% of the canvas for the standard 540p/720p/1080p -> 640x640
-    # geometries, top/bottom bands of 140 rows) skip both matmuls and just
-    # write the pad constant — the resize is MXU-bound, so this is a
-    # proportional cut.
+def _kernel(plane_ref, wy_ref, wx_ref, inside_y_ref, inside_x_ref, lo_ref,
+            out_ref, *, pad_val: float, win: int):
+    # Both resample passes are MXU matmuls: (TILE, WIN) @ (WIN, src_w) on
+    # the tile's source-row window, then (TILE, src_w) @ (src_w, dst_w);
+    # the epilogue fuses round / normalize / pad on the VPU. cv2 resizes in
+    # uint8 and rounds between passes; we round once at the end (sub-LSB
+    # difference vs cv2). Pure-pad tiles skip both matmuls.
+    t = pl.program_id(1)
     has_content = jnp.any(inside_y_ref[0, :, 0] > 0)
 
     @pl.when(has_content)
     def _content():
-        rows = jnp.dot(wy_ref[:], plane_ref[0, :, :],
-                       preferred_element_type=jnp.float32)
+        # lo_ref holds the window start in units of 8 rows — the `* 8`
+        # lets Mosaic statically prove the dynamic-slice start is
+        # sublane-aligned. The bf16 plane window upcasts to the weight
+        # dtype in registers (bf16 holds uint8 values exactly).
+        window = plane_ref[0, pl.ds(lo_ref[t] * 8, win), :].astype(
+            wy_ref.dtype)
+        rows = jnp.dot(wy_ref[0], window, preferred_element_type=jnp.float32)
         resized = jnp.dot(rows, wx_ref[:], preferred_element_type=jnp.float32)
         mask = inside_y_ref[0, :, :] * inside_x_ref[0, :, :]  # (T,1)x(1,W)
         out = jnp.clip(jnp.round(resized), 0.0, 255.0) / 255.0
@@ -119,39 +171,45 @@ def preprocess_yolo_pallas(frame_bgr_u8: jnp.ndarray, spec: LetterboxSpec,
     dst_h, dst_w = spec.dst_hw
     assert dst_h % _ROW_TILE == 0
 
-    # VMEM budget check: the whole source plane + both weight matrices live
+    los, wy, inside_y = _vertical_windows(spec, _ROW_TILE)
+    win = wy.shape[2]
+    wx, inside_x = _horizontal_weights(spec)
+    n_tiles = dst_h // _ROW_TILE
+
+    # VMEM budget check: the whole source plane + both weight tensors live
     # in VMEM (~16 MB/core). Large frames stage in bf16; frames too big even
     # for bf16 fall back to the XLA path (identical semantics).
-    def vmem_bytes(itemsize):
-        return itemsize * (src_h * src_w            # source plane
-                           + src_w * dst_w          # wx
-                           + _ROW_TILE * src_h      # wy tile
-                           + 2 * _ROW_TILE * dst_w)  # out + slack
+    # Planes stage in bf16 — EXACT for uint8 pixel values (0..255 needs 8
+    # significand bits; bf16 has them), at half the staging traffic of
+    # f32. Weights stay f32 when the VMEM budget allows (sub-LSB resize
+    # accuracy); the kernel's dot upcasts the window.
+    def vmem_bytes(w_itemsize):
+        return (2 * src_h * src_w                      # bf16 source plane
+                + w_itemsize * (src_w * dst_w          # wx
+                                + _ROW_TILE * win)     # wy tile
+                + 2 * 2 * _ROW_TILE * dst_w)           # out + slack
 
     if vmem_bytes(4) <= 13 * 2**20:
-        stage_dtype = jnp.float32
+        weight_dtype = jnp.float32
     elif vmem_bytes(2) <= 13 * 2**20:
-        stage_dtype = jnp.bfloat16
+        weight_dtype = jnp.bfloat16
     else:
         from .preprocess import preprocess_yolo
         return preprocess_yolo(frame_bgr_u8, spec, out_dtype)
 
-    wy, inside_y = _vertical_weights(spec)
-    wx, inside_x = _horizontal_weights(spec)
-
     # BGR -> RGB: planar with channels reversed. Mosaic cannot do
     # single-row dynamic loads from uint8 (32-sublane) tiles, so the
-    # planes enter the kernel as f32/bf16 (XLA fuses the convert+transpose).
-    planes = frame_bgr_u8.transpose(2, 0, 1)[::-1].astype(stage_dtype)
+    # planes enter the kernel as bf16 (XLA fuses the convert+transpose).
+    planes = frame_bgr_u8.transpose(2, 0, 1)[::-1].astype(jnp.bfloat16)
 
-    grid = (3, dst_h // _ROW_TILE)
+    grid = (3, n_tiles)
     out = pl.pallas_call(
-        functools.partial(_kernel, pad_val=114.0 / 255.0),
+        functools.partial(_kernel, pad_val=114.0 / 255.0, win=win),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, src_h, src_w), lambda c, t: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROW_TILE, src_h), lambda c, t: (t, 0),
+            pl.BlockSpec((1, _ROW_TILE, win), lambda c, t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((src_w, dst_w), lambda c, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -159,13 +217,15 @@ def preprocess_yolo_pallas(frame_bgr_u8: jnp.ndarray, spec: LetterboxSpec,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, dst_w), lambda c, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, _ROW_TILE, dst_w),
                                lambda c, t: (c, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, dst_h, dst_w), out_dtype),
-    )(planes, jnp.asarray(wy, stage_dtype),
-      jnp.asarray(wx, stage_dtype),
+    )(planes, jnp.asarray(wy, weight_dtype),
+      jnp.asarray(wx, weight_dtype),
       jnp.asarray(inside_y).reshape(1, dst_h, 1),
-      jnp.asarray(inside_x).reshape(1, 1, dst_w))
+      jnp.asarray(inside_x).reshape(1, 1, dst_w),
+      jnp.asarray(los))
     return out.transpose(1, 2, 0)[None]  # (1, Dh, Dw, 3) NHWC
