@@ -84,6 +84,61 @@ def test_min_cost_matching_more_rows_than_cols_matches_scipy():
         assert (m >= 0).sum() == 3
 
 
+def test_solve_square_single_row_prefers_row_minimum():
+    """Regression for the pre-assignment phase: a lone eligible row must
+    take its own cheapest column, not the first column whose argmin it is
+    (classical JV column reduction gets this wrong for masked rows)."""
+    cost = np.array([[5.0, 1.0], [9.0, 9.0]], np.float32)
+    m = np.asarray(solve_square(jnp.asarray(cost),
+                                jnp.asarray([True, False])))
+    assert m[0] == 1 and m[1] == -1
+
+
+def test_solve_square_near_diagonal_structured():
+    """Near-diagonal matrices (the tracking steady state, served by the
+    vectorized pre-assignment with zero augments) vs the scipy optimum."""
+    rng = np.random.RandomState(3)
+    for n in (8, 32, 64):
+        for _ in range(10):
+            cost = rng.rand(n, n).astype(np.float32) * 0.3 + 0.7
+            diag = rng.permutation(n)
+            cost[np.arange(n), diag] = rng.rand(n).astype(np.float32) * 0.05
+            col4row = np.asarray(solve_square(
+                jnp.asarray(cost), jnp.ones(n, bool)))
+            total = cost[np.arange(n), col4row].sum()
+            assert abs(total - scipy_total(cost)) < 1e-4
+
+
+def test_solve_square_ties_and_duplicates_optimal_total():
+    """Heavily tied matrices (duplicate rows/cols, quantized costs): the
+    chosen assignment may differ from scipy's but the total must match."""
+    rng = np.random.RandomState(4)
+    for n in (6, 16):
+        for _ in range(15):
+            cost = (rng.randint(0, 4, (n, n)) * 0.25).astype(np.float32)
+            cost[n // 2] = cost[0]          # duplicate row
+            cost[:, n // 2] = cost[:, 0]    # duplicate column
+            col4row = np.asarray(solve_square(
+                jnp.asarray(cost), jnp.ones(n, bool)))
+            assert sorted(col4row.tolist()) == list(range(n))
+            total = cost[np.arange(n), col4row].sum()
+            assert abs(total - scipy_total(cost)) < 1e-4
+
+
+def test_solve_square_collision_heavy():
+    """Every row's argmin is the same column — the pre-assignment places
+    one row, the augmenting phase must still reach the optimum."""
+    rng = np.random.RandomState(5)
+    for _ in range(10):
+        n = 12
+        cost = rng.rand(n, n).astype(np.float32) + 1.0
+        cost[:, 0] = rng.rand(n).astype(np.float32) * 0.1  # shared magnet
+        col4row = np.asarray(solve_square(
+            jnp.asarray(cost), jnp.ones(n, bool)))
+        total = cost[np.arange(n), col4row].sum()
+        assert abs(total - scipy_total(cost)) < 1e-4
+
+
 def test_cascade_prioritizes_recent_tracks():
     # Track 0 at level 2 (tsu=2), track 1 at level 1 (tsu=1). Both want det 0;
     # the cascade gives it to the more recently updated track even though the

@@ -193,6 +193,37 @@ def test_fused_decode_nms_matches_split_path():
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
 
 
+def test_fused_decode_nms_matches_split_path_bf16_multiseed():
+    """Parity also in the production dtype (bf16 head outputs), across
+    seeds: candidate selection on logits must order identically to
+    selection on f32 sigmoid scores."""
+    from aicamera_tpu.models.yolov8 import decode_predictions
+
+    input_hw = (64, 64)
+    for seed in range(5):
+        rng = np.random.RandomState(100 + seed)
+        levels = []
+        for s in (8, 16, 32):
+            h, w = input_hw[0] // s, input_hw[1] // s
+            bins = jnp.asarray(
+                rng.randn(2, h, w, 64).astype(np.float32) * 2
+            ).astype(jnp.bfloat16)
+            logits = jnp.asarray(
+                rng.randn(2, h, w, 5).astype(np.float32) * 3
+            ).astype(jnp.bfloat16)
+            levels.append((bins, logits))
+        boxes, scores = decode_predictions(levels, input_hw)
+        ref = batched_nms(boxes, scores, score_threshold=0.25,
+                          iou_threshold=0.5, top_k=32, max_det=12)
+        got = fused_decode_nms(levels, score_threshold=0.25,
+                               iou_threshold=0.5, top_k=32, max_det=12)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]),
+                                      err_msg=f"seed {seed}")
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+
+
 def test_fused_decode_nms_empty_scene():
     b, nc = 2, 3
     input_hw = (64, 64)
