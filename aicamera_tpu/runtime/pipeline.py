@@ -202,7 +202,8 @@ class TrackingPipeline:
                 # Bucket 0 skips the crop gather + ReID forward outright on
                 # chunks with no trackable detections (the whole embed
                 # subgraph is dead work there).
-                buckets = [0] + [b for b in (8, 16) if b < n_crops] + [n_crops]
+                buckets = [0] + [b for b in (4, 8, 16) if b < n_crops] \
+                    + [n_crops]
                 n_needed = jnp.max(jnp.sum(d_valid[:, :n_crops], axis=1))
 
                 def make_branch(b):

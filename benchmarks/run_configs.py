@@ -296,10 +296,36 @@ def config7_worst_case_load(frames_n=288):
           method="median_of_3")
 
 
+def config8_latency(frames_n=200):
+    """Single-frame latency (webcam/serving mode): chunk-1 dispatch with a
+    synchronous readback per frame. Reports p50/p99 wall latency.
+
+    Caveat: on the tunneled dev runtime every synchronous readback pays
+    the RPC round trip (~25-35 ms); on a real PCIe host the same path is
+    dominated by compute (~1-2 ms/frame).
+    """
+    import numpy as np
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    arr = _load_clip(frames_n)
+    pipe = TrackingPipeline(chunk_size=1)
+    pipe.warm_up(arr.shape[1:3], chunk_size=1, iters=3)
+    lat = []
+    for f in arr:
+        t0 = time.perf_counter()
+        pipe.process_frame(f)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(v * 1e3 for v in lat)
+    p50 = lat_ms[len(lat_ms) // 2]
+    p99 = lat_ms[int(len(lat_ms) * 0.99)]
+    _emit("8_single_frame_latency_p50", p50, unit="ms",
+          p99_ms=round(p99, 2), frames=len(lat_ms),
+          note="tunneled readback RTT included; PCIe hosts ~1-2 ms")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
-           7: config7_worst_case_load}
+           7: config7_worst_case_load, 8: config8_latency}
 
 
 def main():
