@@ -122,6 +122,9 @@ def make_detections(tlwh, conf, class_id, feature=None, has_feature=None,
         valid = jnp.ones((k,), jnp.bool_)
     else:
         valid = jnp.asarray(valid, jnp.bool_).reshape(-1)
+    # A non-finite box would propagate NaN through the cost matrices and can
+    # corrupt the assignment for *healthy* tracks; drop it at the boundary.
+    valid = valid & jnp.isfinite(tlwh).all(-1)
 
     pad = n - k
     return Detections(

@@ -44,7 +44,7 @@ _ROW_TILE = 64
 
 def _vertical_geometry(spec: LetterboxSpec):
     """Static vertical bilinear geometry: per-output-row flags/taps."""
-    dst_h = spec.dst_hw[0]
+    dst_h = spec.out_hw[0]
     src_h = spec.src_hw[0]
     uh = spec.unpad_hw[0]
     oy = np.arange(dst_h)
@@ -66,7 +66,7 @@ def _vertical_windows(spec: LetterboxSpec, row_tile: int):
     monotonically increasing source rows.
     """
     src_h = spec.src_hw[0]
-    dst_h = spec.dst_hw[0]
+    dst_h = spec.out_hw[0]
     inside, y0, frac = _vertical_geometry(spec)
     n_tiles = dst_h // row_tile
 
@@ -111,7 +111,7 @@ def _horizontal_weights(spec: LetterboxSpec) -> np.ndarray:
     """(src_w, dst_w) bilinear matrix including horizontal padding columns
     (pad columns have all-zero weight; the pad value is added in the
     epilogue)."""
-    dst_w = spec.dst_hw[1]
+    dst_w = spec.out_hw[1]
     src_w = spec.src_hw[1]
     uw = spec.unpad_hw[1]
     w = np.zeros((src_w, dst_w), np.float32)
@@ -168,8 +168,12 @@ def preprocess_yolo_pallas(frame_bgr_u8: jnp.ndarray, spec: LetterboxSpec,
     preprocess_yolo`, fused as one Pallas kernel.
     """
     src_h, src_w = spec.src_hw
-    dst_h, dst_w = spec.dst_hw
-    assert dst_h % _ROW_TILE == 0
+    dst_h, dst_w = spec.out_hw
+    if dst_h % _ROW_TILE != 0:
+        # e.g. `auto` (stride-modulo minimum rectangle) canvases that are
+        # not a row-tile multiple: identical-semantics XLA path
+        from .preprocess import preprocess_yolo
+        return preprocess_yolo(frame_bgr_u8, spec, out_dtype)
 
     los, wy, inside_y = _vertical_windows(spec, _ROW_TILE)
     win = wy.shape[2]
