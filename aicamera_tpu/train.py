@@ -1,0 +1,236 @@
+"""Minimal on-device detection trainer for the synthetic world.
+
+The reference ships no training code — its detector competence comes from
+downloaded weights (``scripts/download_models.sh``), unavailable without
+network access. This trainer closes the loop natively: YOLOv8 (the same
+Flax modules the inference path uses, :mod:`aicamera_tpu.models.yolov8`)
+is trained to competence on :mod:`aicamera_tpu.synthetic` scenes, proving
+the full detect path (preprocess → backbone → DFL decode → NMS → track)
+functionally, with zero external inputs.
+
+TPU-native structure:
+- scene synthesis, letterbox preprocess, forward, loss, and the optimizer
+  update all run inside ONE jitted program; ``lax.scan`` folds many steps
+  per dispatch (the tunneled runtime's per-dispatch overhead would
+  otherwise dominate — CLAUDE.md);
+- no host→device training data at all: scenes are rendered on device from
+  PRNG keys.
+
+Assignment is deliberately simple (one positive anchor per ground-truth
+box: the center cell at an FPN level chosen by box size) — a distillation
+of the YOLOv8 task-aligned assigner sufficient for the synthetic world.
+Losses: BCE classification over all anchors, distribution-focal loss on
+the two adjacent bins, and expected-box IoU loss (all standard YOLOv8
+components).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models.yolov8 import REG_MAX, STRIDES
+from .ops.preprocess import LetterboxSpec, preprocess_yolo
+from .synthetic import WorldSpec, random_objects, render, ground_truth
+
+# FPN level selection thresholds on max(w, h) in letterbox pixels. The
+# center-cell DFL reach at level l is REG_MAX * stride_l per side, so each
+# threshold keeps targets comfortably inside the bin range.
+_LEVEL_MAX_SIZE = (80.0, 160.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch: int = 8
+    steps: int = 3000
+    scan: int = 25                  # optimizer steps fused per dispatch
+    lr: float = 2e-3
+    warmup: int = 200
+    weight_decay: float = 1e-5
+    w_cls: float = 1.0
+    w_iou: float = 2.5
+    w_dfl: float = 0.4
+    seed: int = 0
+
+
+def _level_tables(input_hw: Tuple[int, int]):
+    """Static per-level (H, W, base anchor offset) tables."""
+    lh = [(input_hw[0] // s, input_hw[1] // s) for s in STRIDES]
+    bases, b = [], 0
+    for (h, w) in lh:
+        bases.append(b)
+        b += h * w
+    return lh, bases, b
+
+
+def build_targets(gt_xyxy, gt_cls, gt_valid, spec: LetterboxSpec,
+                  input_hw: Tuple[int, int], num_classes: int = 80):
+    """Per-image dense targets from source-pixel ground truth.
+
+    Returns (cls_t (A, C), box_t (A, 4) ltrb in stride units, pos (A,)).
+    One positive anchor per gt: the center cell at the size-selected level.
+    Anchor collisions resolve by max (cls) / last-write (box).
+    """
+    lh, bases, a_total = _level_tables(input_hw)
+    r = spec.ratio
+    # source -> letterbox coords
+    x1 = gt_xyxy[:, 0] * r + spec.left
+    y1 = gt_xyxy[:, 1] * r + spec.top
+    x2 = gt_xyxy[:, 2] * r + spec.left
+    y2 = gt_xyxy[:, 3] * r + spec.top
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    size = jnp.maximum(x2 - x1, y2 - y1)
+    level = ((size > _LEVEL_MAX_SIZE[0]).astype(jnp.int32)
+             + (size > _LEVEL_MAX_SIZE[1]).astype(jnp.int32))
+
+    strides = jnp.asarray(STRIDES, jnp.float32)[level]
+    lw = jnp.asarray([w for (_, w) in lh], jnp.int32)[level]
+    lhh = jnp.asarray([h for (h, _) in lh], jnp.int32)[level]
+    base = jnp.asarray(bases, jnp.int32)[level]
+    ci = jnp.clip((cx / strides).astype(jnp.int32), 0, lw - 1)
+    cj = jnp.clip((cy / strides).astype(jnp.int32), 0, lhh - 1)
+    anchor = base + cj * lw + ci
+    # centers of the chosen cells, letterbox pixels
+    acx = (ci.astype(jnp.float32) + 0.5) * strides
+    acy = (cj.astype(jnp.float32) + 0.5) * strides
+    ltrb = jnp.stack([(acx - x1), (acy - y1), (x2 - acx), (y2 - acy)],
+                     axis=-1) / strides[:, None]
+    ltrb = jnp.clip(ltrb, 0.0, REG_MAX - 1.01)
+
+    ok = gt_valid & (x2 > x1 + 1) & (y2 > y1 + 1)
+    # invalid gts scatter to a dump row (a_total) that is sliced off
+    tgt = jnp.where(ok, anchor, a_total)
+    cls_t = jnp.zeros((a_total + 1, num_classes), jnp.float32)
+    cls_t = cls_t.at[tgt, gt_cls].max(1.0)[:a_total]
+    box_t = jnp.zeros((a_total + 1, 4), jnp.float32)
+    box_t = box_t.at[tgt].set(ltrb)[:a_total]
+    pos = jnp.zeros((a_total + 1,), jnp.bool_).at[tgt].set(ok)[:a_total]
+    return cls_t, box_t, pos
+
+
+def detection_loss(level_outputs, cls_t, box_t, pos, cfg: TrainConfig):
+    """Per-image loss from raw head outputs and dense targets."""
+    nbins = 4 * REG_MAX
+    bins = jnp.concatenate(
+        [bb.reshape(-1, nbins) for bb, _ in level_outputs], axis=0)
+    logits = jnp.concatenate(
+        [cl.reshape(-1, cl.shape[-1]) for _, cl in level_outputs],
+        axis=0).astype(jnp.float32)
+
+    npos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+    bce = optax.sigmoid_binary_cross_entropy(logits, cls_t)
+    loss_cls = jnp.sum(bce) / npos
+
+    b = bins.astype(jnp.float32).reshape(-1, 4, REG_MAX)
+    logp = jax.nn.log_softmax(b, axis=-1)
+    lo = jnp.floor(box_t).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, REG_MAX - 1)
+    wl = (hi.astype(jnp.float32) - box_t)
+    wr = 1.0 - wl
+    ce = -(wl * jnp.take_along_axis(logp, lo[..., None], -1)[..., 0]
+           + wr * jnp.take_along_axis(logp, hi[..., None], -1)[..., 0])
+    loss_dfl = jnp.sum(jnp.where(pos[:, None], ce, 0.0)) / npos
+
+    dist = jnp.sum(jax.nn.softmax(b, axis=-1)
+                   * jnp.arange(REG_MAX, dtype=jnp.float32), -1)  # (A, 4)
+    # IoU of predicted vs target ltrb around the same center (stride units)
+    iw = jnp.minimum(dist[:, 0], box_t[:, 0]) + \
+        jnp.minimum(dist[:, 2], box_t[:, 2])
+    ih = jnp.minimum(dist[:, 1], box_t[:, 1]) + \
+        jnp.minimum(dist[:, 3], box_t[:, 3])
+    inter = jnp.maximum(iw, 0) * jnp.maximum(ih, 0)
+    area_p = jnp.maximum(dist[:, 0] + dist[:, 2], 0) * \
+        jnp.maximum(dist[:, 1] + dist[:, 3], 0)
+    area_t = (box_t[:, 0] + box_t[:, 2]) * (box_t[:, 1] + box_t[:, 3])
+    iou = inter / jnp.maximum(area_p + area_t - inter, 1e-7)
+    loss_iou = jnp.sum(jnp.where(pos, 1.0 - iou, 0.0)) / npos
+
+    return (cfg.w_cls * loss_cls + cfg.w_iou * loss_iou
+            + cfg.w_dfl * loss_dfl,
+            {"cls": loss_cls, "iou": loss_iou, "dfl": loss_dfl})
+
+
+def make_train_step(model, world: WorldSpec, spec: LetterboxSpec,
+                    input_hw: Tuple[int, int], cfg: TrainConfig, tx):
+    """Build the jitted multi-step train function (scan of cfg.scan steps,
+    scenes rendered on device)."""
+
+    def one_image_loss(params, key):
+        ko, kr = jax.random.split(key)
+        obj = random_objects(ko, world)
+        frame = render(obj, world, kr)
+        gt_xyxy, gt_cls, gt_valid = ground_truth(obj, world)
+        x = preprocess_yolo(frame, spec, out_dtype=model.dtype)[0]
+        levels = model.apply(params, x[None])
+        cls_t, box_t, pos = build_targets(
+            gt_xyxy, gt_cls, gt_valid, spec, input_hw)
+        return detection_loss(levels, cls_t, box_t, pos, cfg)
+
+    def batch_loss(params, key):
+        keys = jax.random.split(key, cfg.batch)
+        loss, aux = jax.vmap(
+            lambda k: one_image_loss(params, k))(keys)
+        return jnp.mean(loss), jax.tree.map(jnp.mean, aux)
+
+    grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
+
+    def one_step(carry, key):
+        params, opt_state = carry
+        (loss, aux), grads = grad_fn(params, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (loss, aux)
+
+    @jax.jit
+    def multi_step(params, opt_state, key):
+        keys = jax.random.split(key, cfg.scan)
+        (params, opt_state), (losses, auxes) = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, losses, auxes
+
+    return multi_step
+
+
+def train_detector(variant: str = "n", world: WorldSpec = WorldSpec(),
+                   input_hw: Tuple[int, int] = (640, 640),
+                   cfg: TrainConfig = TrainConfig(), params=None,
+                   log=print):
+    """Train YOLOv8-`variant` on the synthetic world; returns (model,
+    params_f32). Runs on whatever backend jax resolves (TPU for real
+    training; tests use tiny shapes on CPU)."""
+    from .ops.preprocess import letterbox_spec
+    from .runtime.params import compute_dtype, template_params
+
+    model_cd = compute_dtype()
+    from .models import YOLOv8
+    model = YOLOv8(variant=variant, num_classes=80, dtype=model_cd)
+    if params is None:
+        params = template_params(
+            model, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    spec = letterbox_spec(world.hw, input_hw)
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.lr, cfg.warmup, max(cfg.steps, cfg.warmup + 1), cfg.lr / 20)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(sched, weight_decay=cfg.weight_decay))
+    opt_state = tx.init(params)
+    step_fn = make_train_step(model, world, spec, input_hw, cfg, tx)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    n_disp = max(1, cfg.steps // cfg.scan)
+    for i in range(n_disp):
+        key, sub = jax.random.split(key)
+        params, opt_state, losses, auxes = step_fn(params, opt_state, sub)
+        if i % max(1, n_disp // 20) == 0 or i == n_disp - 1:
+            ls = np.asarray(losses)
+            ax = {k: float(np.asarray(v)[-1]) for k, v in auxes.items()}
+            log(f"step {min((i + 1) * cfg.scan, cfg.steps):>5}/{cfg.steps}"
+                f"  loss {ls[-1]:.3f} (mean {ls.mean():.3f})"
+                f"  cls {ax['cls']:.3f} iou {ax['iou']:.3f}"
+                f" dfl {ax['dfl']:.3f}")
+    return model, params

@@ -322,10 +322,78 @@ def config8_latency(frames_n=200):
           note="tunneled readback RTT included; PCIe hosts ~1-2 ms")
 
 
+def config9_synthetic_trained(frames_n=288):
+    """Full tracking on synthetic 540p scenes with the self-trained
+    detector (scripts/train_synthetic.py): a REALISTIC detection load —
+    ~8 live objects per frame producing genuine boxes, ReID crops,
+    cascade and lifecycle work — unlike configs 2/3, whose untrained
+    weights make the post-NMS slate noise-driven. Also sanity-checks
+    tracking quality (MOTA vs exact synthetic ground truth)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pathlib import Path
+    from aicamera_tpu.eval import evaluate_mot
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+
+    weights = Path(__file__).resolve().parent.parent / \
+        "models" / "detection" / "yolov8n_synthetic.msgpack"
+    if not weights.exists():
+        print(json.dumps({"config": "9_synthetic_trained", "value": None,
+                          "note": "checkpoint missing — run "
+                                  "scripts/train_synthetic.py"}))
+        return
+    world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0), seed=4,
+                          speed=3.0)
+    frames, gt = [], []
+    for _ in range(frames_n):
+        f, b, ids, cls, v = world.step()
+        frames.append(f)
+        gt.append((b[v], ids[v]))
+    arr = np.stack(frames)
+
+    k = 96
+    pipe = TrackingPipeline(chunk_size=k, yolo_weights=str(weights))
+    pipe.warm_up(arr.shape[1:3])
+    step = pipe._get_step(arr.shape[1:3], k)
+    fv = jnp.ones((k,), bool)
+    chunks = _staged_chunks(arr, k)
+    n = len(chunks) * k
+    runs = []
+    for _ in range(3):
+        pipe.reset()
+        state = pipe.state
+        outs = []
+        t0 = time.perf_counter()
+        for c in chunks:
+            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
+                                        state, c, fv)
+            outs.append(track_outs)
+        jax.device_get(outs)
+        runs.append(n / (time.perf_counter() - t0))
+
+    # tracking-quality sanity on the same sequence (streamed path)
+    pipe.reset()
+    hyp = []
+    for res in pipe.process_frames(iter(list(arr[:96]))):
+        if res.tracks:
+            hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
+                        np.asarray([t[4] for t in res.tracks], np.int64)))
+        else:
+            hyp.append((np.zeros((0, 4), np.float32),
+                        np.zeros((0,), np.int64)))
+    mot = evaluate_mot(gt[5:96], hyp[5:96])
+    _emit("9_synthetic_trained_tracking", sorted(runs)[1], frames=n,
+          method="median_of_3", mota=round(mot.mota, 3),
+          motp=round(mot.motp, 3), id_switches=mot.id_switches)
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
-           7: config7_worst_case_load, 8: config8_latency}
+           7: config7_worst_case_load, 8: config8_latency,
+           9: config9_synthetic_trained}
 
 
 def main():

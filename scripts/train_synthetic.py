@@ -1,0 +1,147 @@
+"""Train YOLOv8n on the synthetic world and save a functional checkpoint.
+
+No external inputs: scenes are generated on device
+(:mod:`aicamera_tpu.synthetic`), the trainer is
+:mod:`aicamera_tpu.train`, and the result is evaluated (precision/recall
+at IoU 0.5 + class match, through the REAL detect path incl. letterbox
+preprocess, DFL decode and NMS) before being saved to
+``models/detection/yolov8n_synthetic.msgpack``. The saved checkpoint
+powers the hardware-free functional regression tests
+(``tests/test_functional_synthetic.py``) and the realistic-load benchmark.
+
+Usage: python scripts/train_synthetic.py [--steps 3000] [--batch 8]
+           [--eval-only] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DEFAULT_OUT = Path(__file__).resolve().parent.parent / \
+    "models" / "detection" / "yolov8n_synthetic.msgpack"
+
+
+def evaluate(model, params, world, input_hw, n_scenes=48, conf=0.3,
+             iou_match=0.5, seed=7777):
+    """Precision/recall of the full detect path on fresh scenes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aicamera_tpu.ops.nms import fused_decode_nms
+    from aicamera_tpu.ops.preprocess import (letterbox_spec,
+                                             preprocess_yolo,
+                                             scale_boxes_back)
+    from aicamera_tpu.synthetic import random_scene
+
+    spec = letterbox_spec(world.hw, input_hw)
+
+    @jax.jit
+    def detect_batch(params, keys):
+        frames, gtb, gtc, gtv = jax.vmap(
+            lambda k: random_scene(k, world))(keys)
+        x = jax.vmap(lambda f: preprocess_yolo(
+            f, spec, out_dtype=model.dtype)[0])(frames)
+        levels = model.apply(params, x)
+        num, boxes, scores, labels = fused_decode_nms(
+            levels, score_threshold=0.25, iou_threshold=0.5)
+        return (num, scale_boxes_back(boxes, spec), scores, labels,
+                gtb, gtc, gtv)
+
+    b = 8
+    tp = fp = fn = 0
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_scenes)
+    for i in range(0, n_scenes, b):
+        out = detect_batch(params, keys[i:i + b])
+        num, boxes, scores, labels, gtb, gtc, gtv = map(np.asarray, out)
+        for j in range(len(num)):
+            det = [(boxes[j, d], labels[j, d], scores[j, d])
+                   for d in range(num[j]) if scores[j, d] >= conf]
+            det.sort(key=lambda t: -t[2])
+            gt = [(gtb[j, g], gtc[j, g]) for g in range(len(gtv[j]))
+                  if gtv[j, g]]
+            used = [False] * len(gt)
+            for dbox, dcls, _ in det:
+                best, bi = 0.0, -1
+                for g, (gbox, gcls) in enumerate(gt):
+                    if used[g] or gcls != dcls:
+                        continue
+                    ix1 = max(dbox[0], gbox[0]); iy1 = max(dbox[1], gbox[1])
+                    ix2 = min(dbox[2], gbox[2]); iy2 = min(dbox[3], gbox[3])
+                    inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+                    a1 = (dbox[2] - dbox[0]) * (dbox[3] - dbox[1])
+                    a2 = (gbox[2] - gbox[0]) * (gbox[3] - gbox[1])
+                    iou = inter / max(a1 + a2 - inter, 1e-7)
+                    if iou > best:
+                        best, bi = iou, g
+                if best >= iou_match:
+                    used[bi] = True
+                    tp += 1
+                else:
+                    fp += 1
+            fn += used.count(False)
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    return prec, rec, tp, fp, fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--scan", type=int, default=25)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--out", type=str, default=str(DEFAULT_OUT))
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--min-prec", type=float, default=0.85)
+    ap.add_argument("--min-rec", type=float, default=0.85)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from aicamera_tpu.runtime.engine import enable_persistent_cache
+    enable_persistent_cache()
+    from aicamera_tpu.synthetic import WorldSpec
+    from aicamera_tpu.train import TrainConfig, train_detector
+
+    world = WorldSpec()
+    input_hw = (640, 640)
+    out = Path(args.out)
+    print(f"backend={jax.default_backend()}")
+
+    if args.eval_only:
+        from aicamera_tpu.runtime.params import resolve_yolo_params
+        model, params = resolve_yolo_params("n", weights_path=str(out))
+    else:
+        cfg = TrainConfig(steps=args.steps, batch=args.batch,
+                          scan=args.scan, lr=args.lr)
+        t0 = time.time()
+        model, params = train_detector(world=world, input_hw=input_hw,
+                                       cfg=cfg)
+        print(f"trained {args.steps} steps in {time.time() - t0:.0f}s")
+
+    prec, rec, tp, fp, fn = evaluate(model, params, world, input_hw)
+    print(json.dumps({"precision": round(prec, 4), "recall": round(rec, 4),
+                      "tp": tp, "fp": fp, "fn": fn}))
+    if args.eval_only:
+        return
+    if prec < args.min_prec or rec < args.min_rec:
+        print(f"below bar (min_prec={args.min_prec}, min_rec={args.min_rec})"
+              " — NOT saving", file=sys.stderr)
+        sys.exit(1)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    print(f"saved {out} ({out.stat().st_size / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()
