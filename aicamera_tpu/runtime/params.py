@@ -63,7 +63,12 @@ def template_params(model, example_input):
 
 def _load_msgpack(path: Path, template):
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        restored = serialization.from_bytes(template, f.read())
+    # Commit the leaves to the device ONCE. from_bytes returns host numpy
+    # arrays; passing those to a jitted function re-uploads every leaf on
+    # EVERY dispatch (measured: +250 ms/chunk for the 12.6 MB YOLOv8n tree
+    # on the tunneled runtime — scripts/profile_synthetic_load.py).
+    return jax.tree.map(jnp.asarray, restored)
 
 
 def _save_msgpack(path: Path, params) -> None:
