@@ -196,6 +196,122 @@ def make_train_step(model, world: WorldSpec, spec: LetterboxSpec,
     return multi_step
 
 
+@dataclasses.dataclass(frozen=True)
+class ReIDTrainConfig:
+    scenes: int = 4                 # scenes per step (each x2 views)
+    steps: int = 1500
+    scan: int = 25
+    lr: float = 1e-3
+    warmup: int = 100
+    weight_decay: float = 1e-5
+    temperature: float = 0.1
+    jitter: float = 0.06            # box jitter fraction of extent
+    seed: int = 0
+
+
+def reid_contrastive_loss(za, zb, valid, temperature: float):
+    """Bidirectional InfoNCE over two views of M instances.
+
+    ``za, zb`` are L2-normalized (M, D) embeddings of the same instances
+    under different rendering/crop noise; ``valid`` masks empty slots.
+    Every other valid instance (any scene) is a negative.
+    """
+    sim = (za @ zb.T) / temperature                  # (M, M)
+    neg_inf = jnp.asarray(-1e9, sim.dtype)
+    sim = jnp.where(valid[None, :], sim, neg_inf)
+    sim_t = jnp.where(valid[:, None], sim, neg_inf)
+    diag = jnp.arange(sim.shape[0])
+    ce_ab = -(jax.nn.log_softmax(sim, axis=1)[diag, diag])
+    ce_ba = -(jax.nn.log_softmax(sim_t, axis=0)[diag, diag])
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    return jnp.sum(jnp.where(valid, ce_ab + ce_ba, 0.0)) / (2.0 * n)
+
+
+def make_reid_train_step(model, world: WorldSpec, cfg: ReIDTrainConfig, tx):
+    """Jitted multi-step ReID trainer: per step, render each scene twice
+    (different background/noise), gather the gt crops on device with the
+    production crop extractor, embed, and pull view pairs together."""
+    from .ops.crops import extract_reid_crops
+
+    def scene_views(key):
+        ko, ka, kb, kj = jax.random.split(key, 4)
+        obj = random_objects(ko, world)
+        boxes, _, valid = ground_truth(obj, world)
+        fa = render(obj, world, ka)
+        fb = render(obj, world, kb)
+        ext = jnp.stack([boxes[:, 2] - boxes[:, 0],
+                         boxes[:, 3] - boxes[:, 1],
+                         boxes[:, 2] - boxes[:, 0],
+                         boxes[:, 3] - boxes[:, 1]], axis=-1)
+        jit_b = boxes + cfg.jitter * ext * jax.random.normal(
+            kj, boxes.shape)
+        ca, va = extract_reid_crops(fa, boxes, compute_dtype=model.dtype)
+        cb, vb = extract_reid_crops(fb, jit_b, compute_dtype=model.dtype)
+        return ca, cb, valid & va & vb
+
+    def batch_loss(params, key):
+        keys = jax.random.split(key, cfg.scenes)
+        ca, cb, valid = jax.vmap(scene_views)(keys)
+        m = cfg.scenes * world.max_objects
+        ca = ca.reshape(m, *ca.shape[2:])
+        cb = cb.reshape(m, *cb.shape[2:])
+        valid = valid.reshape(m)
+        za = model.apply(params, ca).astype(jnp.float32)
+        zb = model.apply(params, cb).astype(jnp.float32)
+        return reid_contrastive_loss(za, zb, valid, cfg.temperature)
+
+    grad_fn = jax.value_and_grad(batch_loss)
+
+    def one_step(carry, key):
+        params, opt_state = carry
+        loss, grads = grad_fn(params, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def multi_step(params, opt_state, key):
+        keys = jax.random.split(key, cfg.scan)
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    return multi_step
+
+
+def train_reid(world: WorldSpec = WorldSpec(),
+               cfg: ReIDTrainConfig = ReIDTrainConfig(), params=None,
+               log=print):
+    """Train the ReID embedder on synthetic identities; returns (model,
+    params)."""
+    from .models import ReIDNet
+    from .runtime.params import compute_dtype, template_params
+    from . import config as pkg_config
+    model = ReIDNet(feature_dim=pkg_config.REID_FEATURE_DIM,
+                    dtype=compute_dtype())
+    if params is None:
+        params = template_params(
+            model, jnp.zeros((1, *pkg_config.REID_INPUT_SHAPE, 3),
+                             jnp.float32))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.lr, cfg.warmup, max(cfg.steps, cfg.warmup + 1), cfg.lr / 20)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(sched, weight_decay=cfg.weight_decay))
+    opt_state = tx.init(params)
+    step_fn = make_reid_train_step(model, world, cfg, tx)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    n_disp = max(1, cfg.steps // cfg.scan)
+    for i in range(n_disp):
+        key, sub = jax.random.split(key)
+        params, opt_state, losses = step_fn(params, opt_state, sub)
+        if i % max(1, n_disp // 15) == 0 or i == n_disp - 1:
+            ls = np.asarray(losses)
+            log(f"reid step {min((i + 1) * cfg.scan, cfg.steps):>5}"
+                f"/{cfg.steps}  loss {ls[-1]:.4f} (mean {ls.mean():.4f})")
+    return model, params
+
+
 def train_detector(variant: str = "n", world: WorldSpec = WorldSpec(),
                    input_hw: Tuple[int, int] = (640, 640),
                    cfg: TrainConfig = TrainConfig(), params=None,

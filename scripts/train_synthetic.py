@@ -91,8 +91,46 @@ def evaluate(model, params, world, input_hw, n_scenes=48, conf=0.3,
     return prec, rec, tp, fp, fn
 
 
+def evaluate_reid(model, params, world, n_scenes=24, seed=5555):
+    """Identity separation of the embedder: same-instance vs
+    different-instance cosine distance across two views per scene."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aicamera_tpu.ops.crops import extract_reid_crops
+    from aicamera_tpu.synthetic import ground_truth, random_objects, render
+
+    @jax.jit
+    def views(key):
+        ko, ka, kb = jax.random.split(key, 3)
+        obj = random_objects(ko, world)
+        boxes, _, valid = ground_truth(obj, world)
+        ca, va = extract_reid_crops(render(obj, world, ka), boxes,
+                                    compute_dtype=model.dtype)
+        cb, vb = extract_reid_crops(render(obj, world, kb), boxes,
+                                    compute_dtype=model.dtype)
+        za = model.apply(params, ca).astype(jnp.float32)
+        zb = model.apply(params, cb).astype(jnp.float32)
+        return za, zb, valid & va & vb
+
+    intra, inter = [], []
+    for k in jax.random.split(jax.random.PRNGKey(seed), n_scenes):
+        za, zb, v = map(np.asarray, views(k))
+        d = 1.0 - za @ zb.T
+        for i in range(len(v)):
+            if not v[i]:
+                continue
+            intra.append(d[i, i])
+            inter.extend(d[i, v & (np.arange(len(v)) != i)])
+    return float(np.mean(intra)), float(np.mean(inter)), \
+        float(np.percentile(intra, 95)), float(np.percentile(inter, 5))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--reid", action="store_true",
+                    help="train the ReID embedder instead of the detector")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--scan", type=int, default=25)
@@ -116,6 +154,40 @@ def main():
     input_hw = (640, 640)
     out = Path(args.out)
     print(f"backend={jax.default_backend()}")
+
+    if args.reid:
+        from aicamera_tpu.train import ReIDTrainConfig, train_reid
+        reid_out = Path(args.out) if args.out != str(DEFAULT_OUT) else \
+            DEFAULT_OUT.parent.parent / "reid" / \
+            "deepsort_reid_synthetic.msgpack"
+        if args.eval_only:
+            from aicamera_tpu.runtime.params import resolve_reid_params
+            model, params = resolve_reid_params(weights_path=str(reid_out))
+        else:
+            cfg = ReIDTrainConfig(steps=args.steps if args.steps != 3000
+                                  else 1500, lr=args.lr
+                                  if args.lr != 2e-3 else 1e-3)
+            t0 = time.time()
+            model, params = train_reid(world=world, cfg=cfg)
+            print(f"trained reid in {time.time() - t0:.0f}s")
+        intra, inter, intra95, inter5 = evaluate_reid(model, params, world)
+        print(json.dumps({"intra_mean": round(intra, 4),
+                          "inter_mean": round(inter, 4),
+                          "intra_p95": round(intra95, 4),
+                          "inter_p5": round(inter5, 4)}))
+        if args.eval_only:
+            return
+        # the appearance gate is 0.2 cosine distance (reference MAX_DIST):
+        # same-identity pairs must sit inside it, others far outside
+        if intra95 > 0.15 or inter5 < 0.3:
+            print("embedding margin below bar — NOT saving",
+                  file=sys.stderr)
+            sys.exit(1)
+        reid_out.parent.mkdir(parents=True, exist_ok=True)
+        with open(reid_out, "wb") as f:
+            f.write(serialization.to_bytes(params))
+        print(f"saved {reid_out} ({reid_out.stat().st_size / 1e6:.1f} MB)")
+        return
 
     if args.eval_only:
         from aicamera_tpu.runtime.params import resolve_yolo_params
