@@ -203,7 +203,8 @@ class MultiStreamPipeline:
             # only as many crop slots as the busiest frame needs. NOTE: with
             # a sharded mesh this reduces compute uniformly across chips
             # (the bucket index is a replicated scalar).
-            buckets = [b for b in (4, 8, 16) if b < n_crops] + [n_crops]
+            buckets = [b for b in (4, 8, 12, 16, 24)
+                       if b < n_crops] + [n_crops]
             n_needed = jnp.max(jnp.sum(d_valid[:, :n_crops], axis=1))
 
             def make_branch(b):

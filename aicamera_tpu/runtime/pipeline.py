@@ -201,9 +201,14 @@ class TrackingPipeline:
                 # covering the per-frame maximum preserves semantics exactly.
                 # Bucket 0 skips the crop gather + ReID forward outright on
                 # chunks with no trackable detections (the whole embed
-                # subgraph is dead work there).
-                buckets = [0] + [b for b in (4, 8, 16) if b < n_crops] \
-                    + [n_crops]
+                # subgraph is dead work there). Bucket spacing is deliberately
+                # dense in the 8-32 range: the embed forward is the dominant
+                # realistic-load cost (37 ms/chunk at batch 16*96 on v5e,
+                # scripts/profile_synthetic_load.py) and scales linearly with
+                # the bucket, so a 16 bucket serving ~10 dets/frame wastes
+                # ~40% of the embedder's FLOPs on padding.
+                buckets = [0] + [b for b in (4, 8, 12, 16, 24)
+                                 if b < n_crops] + [n_crops]
                 n_needed = jnp.max(jnp.sum(d_valid[:, :n_crops], axis=1))
 
                 def make_branch(b):

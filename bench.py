@@ -63,9 +63,10 @@ def main():
         c.block_until_ready()
         chunks.append(c)
 
-    def measure(pipe) -> float:
+    def measure(pipe, chunks, hw) -> float:
         """Median tracked FPS over 3 passes (not best-of: VERDICT r1)."""
-        step = pipe._get_step(arr.shape[1:3], CHUNK)
+        step = pipe._get_step(hw, CHUNK)
+        total = len(chunks) * CHUNK
 
         def timed_pass():
             pipe.reset()
@@ -78,14 +79,14 @@ def main():
                     frame_valid)
                 outs.append(track_outs)
             jax.device_get(outs)  # output readback inside the timing
-            return n / (time.perf_counter() - t0)
+            return total / (time.perf_counter() - t0)
 
         runs = sorted(timed_pass() for _ in range(3))
         return runs[1]
 
     pipe = TrackingPipeline(chunk_size=CHUNK)
     pipe.warm_up(arr.shape[1:3])
-    median_fps = measure(pipe)
+    median_fps = measure(pipe, chunks, arr.shape[1:3])
     del pipe
 
     # Worst-case load: every frame carries a full 64-detection slate
@@ -95,16 +96,45 @@ def main():
     wc = TrackingPipeline(chunk_size=CHUNK,
                           synthetic_load=config.MAX_DETECTIONS)
     wc.warm_up(arr.shape[1:3])
-    worst_case_fps = measure(wc)
+    worst_case_fps = measure(wc, chunks, arr.shape[1:3])
+    del wc
 
-    print(json.dumps({
+    # Realistic load: self-trained detector + embedder over synthetic 540p
+    # scenes (~9 genuine detections/frame driving real crops, cascade and
+    # lifecycle work). Only runs when the self-trained checkpoints exist
+    # (scripts/train_synthetic.py [--reid]); the random-weights clip number
+    # above under-exercises the tracker (no detection survives the class/
+    # confidence prefilter, so the cond-guarded KF/cascade stages skip).
+    realistic_fps = None
+    det_w = Path("models/detection/yolov8n_synthetic.msgpack")
+    reid_w = Path("models/reid/deepsort_reid_synthetic.msgpack")
+    if det_w.exists():
+        from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+        world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0),
+                              seed=4, speed=3.0)
+        syn = np.stack([world.step()[0] for _ in range(3 * CHUNK)])
+        syn_chunks = []
+        for i in range(0, syn.shape[0], CHUNK):
+            c = jnp.asarray(syn[i:i + CHUNK])
+            c.block_until_ready()
+            syn_chunks.append(c)
+        rp = TrackingPipeline(
+            chunk_size=CHUNK, yolo_weights=str(det_w),
+            reid_weights=str(reid_w) if reid_w.exists() else None)
+        rp.warm_up(syn.shape[1:3])
+        realistic_fps = measure(rp, syn_chunks, syn.shape[1:3])
+
+    out = {
         "metric": "e2e_tracked_fps_640_v5e",
         "value": round(median_fps, 1),
         "unit": "fps",
         "vs_baseline": round(median_fps / BASELINE_FPS, 2),
         "worst_case_64det_fps": round(worst_case_fps, 1),
         "method": "median_of_3",
-    }))
+    }
+    if realistic_fps is not None:
+        out["realistic_trained_fps"] = round(realistic_fps, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

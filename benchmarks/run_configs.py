@@ -337,8 +337,10 @@ def config9_synthetic_trained(frames_n=288):
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
 
-    weights = Path(__file__).resolve().parent.parent / \
-        "models" / "detection" / "yolov8n_synthetic.msgpack"
+    root = Path(__file__).resolve().parent.parent
+    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
+    reid_weights = root / "models" / "reid" / \
+        "deepsort_reid_synthetic.msgpack"
     if not weights.exists():
         print(json.dumps({"config": "9_synthetic_trained", "value": None,
                           "note": "checkpoint missing — run "
@@ -354,7 +356,9 @@ def config9_synthetic_trained(frames_n=288):
     arr = np.stack(frames)
 
     k = 96
-    pipe = TrackingPipeline(chunk_size=k, yolo_weights=str(weights))
+    pipe = TrackingPipeline(
+        chunk_size=k, yolo_weights=str(weights),
+        reid_weights=str(reid_weights) if reid_weights.exists() else None)
     pipe.warm_up(arr.shape[1:3])
     step = pipe._get_step(arr.shape[1:3], k)
     fv = jnp.ones((k,), bool)

@@ -103,6 +103,26 @@ def main():
             return outs
         bench(f"{tag}: full step (reid+scan)", full)
 
+        # Same pipeline with the ReID embed removed: isolates the tracker
+        # scan (predict/cascade/LAPJV/update with IoU-only association)
+        # from the crop-gather + embedder forward.
+        pipe_noreid = TrackingPipeline(chunk_size=k, yolo_weights=wpath,
+                                       with_reid=False)
+        pipe_noreid.warm_up(hw)
+        step_nr = pipe_noreid._get_step(hw, k)
+
+        def full_noreid():
+            pipe_noreid.reset()
+            st = pipe_noreid.state
+            outs = []
+            for c in chunks:
+                st, _, track_outs = step_nr(
+                    pipe_noreid.yolo_params, pipe_noreid.reid_params, st, c,
+                    fv)
+                outs.append(track_outs)
+            return outs
+        bench(f"{tag}: full step (no reid)", full_noreid)
+
         # ---- fixpoint depth on the first chunk's candidates -------------
         num, boxes, scores, labels = map(np.asarray,
                                          detect(pipe.yolo_params, chunks[0]))
