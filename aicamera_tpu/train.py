@@ -206,6 +206,8 @@ class ReIDTrainConfig:
     weight_decay: float = 1e-5
     temperature: float = 0.1
     jitter: float = 0.06            # box jitter fraction of extent
+    erase_max: float = 0.5          # max occluder fraction per crop axis
+    photometric: float = 0.15       # brightness/contrast jitter span
     seed: int = 0
 
 
@@ -233,8 +235,37 @@ def make_reid_train_step(model, world: WorldSpec, cfg: ReIDTrainConfig, tx):
     production crop extractor, embed, and pull view pairs together."""
     from .ops.crops import extract_reid_crops
 
+    def random_erase(key, crops):
+        """Occlude a random rectangle per crop (fill = 0 == ImageNet mean
+        post-normalization). Tracking's hard failure mode is a crossing
+        object corrupting the crop — measured as identity switches when
+        the un-augmented embedder meets overlapping instances — so the
+        positive pairs must survive partial occlusion."""
+        n, ch, cw = crops.shape[0], crops.shape[1], crops.shape[2]
+        kc, ks = jax.random.split(key)
+        ctr = jax.random.uniform(kc, (n, 2))
+        size = jax.random.uniform(ks, (n, 2), minval=0.1,
+                                  maxval=cfg.erase_max)
+        yy = jnp.arange(ch, dtype=jnp.float32)[None, :] / ch
+        xx = jnp.arange(cw, dtype=jnp.float32)[None, :] / cw
+        in_y = jnp.abs(yy - ctr[:, :1]) < size[:, :1] / 2   # (n, ch)
+        in_x = jnp.abs(xx - ctr[:, 1:]) < size[:, 1:] / 2   # (n, cw)
+        hole = in_y[:, :, None] & in_x[:, None, :]          # (n, ch, cw)
+        return jnp.where(hole[..., None], 0.0, crops)
+
+    def photometric(key, crops):
+        """Per-crop brightness/contrast jitter (on normalized values)."""
+        kg, kb_ = jax.random.split(key)
+        span = cfg.photometric
+        gain = 1.0 + jax.random.uniform(kg, (crops.shape[0], 1, 1, 1),
+                                        minval=-span, maxval=span)
+        bias = jax.random.uniform(kb_, (crops.shape[0], 1, 1, 1),
+                                  minval=-span, maxval=span)
+        return (crops * gain.astype(crops.dtype)
+                + bias.astype(crops.dtype))
+
     def scene_views(key):
-        ko, ka, kb, kj = jax.random.split(key, 4)
+        ko, ka, kb, kj, ke, kp = jax.random.split(key, 6)
         obj = random_objects(ko, world)
         boxes, _, valid = ground_truth(obj, world)
         fa = render(obj, world, ka)
@@ -247,6 +278,7 @@ def make_reid_train_step(model, world: WorldSpec, cfg: ReIDTrainConfig, tx):
             kj, boxes.shape)
         ca, va = extract_reid_crops(fa, boxes, compute_dtype=model.dtype)
         cb, vb = extract_reid_crops(fb, jit_b, compute_dtype=model.dtype)
+        cb = photometric(kp, random_erase(ke, cb))
         return ca, cb, valid & va & vb
 
     def batch_loss(params, key):
