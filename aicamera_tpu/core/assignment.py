@@ -145,21 +145,33 @@ def solve_square(cost: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
 
     # Compact still-unassigned eligible row indices to the front, preserving
     # index order (stable sort) so the augmentation order matches row order.
+    # The whole augment phase (argsort compaction + sequential while_loop)
+    # is lax.cond-guarded: in the common tracking case the pre-assignment
+    # above resolves every row, and inside the per-frame scan the dead sort
+    # + loop setup still pays fixed sequencer overhead per frame.
     todo = row_mask & ~assigned
-    order = jnp.argsort(~todo, stable=True).astype(jnp.int32)
-    n_eligible = jnp.sum(todo).astype(jnp.int32)
 
-    def cond_fn(carry):
-        return carry[0] < n_eligible
+    def augment_all(carry):
+        u, v, col4row, row4col = carry
+        order = jnp.argsort(~todo, stable=True).astype(jnp.int32)
+        n_eligible = jnp.sum(todo).astype(jnp.int32)
 
-    def body_fn(carry):
-        k, u, v, col4row, row4col = carry
-        i = order[k]
-        u, v, col4row, row4col = _augment_row(i, cost, u, v, col4row, row4col)
-        return (k + 1, u, v, col4row, row4col)
+        def cond_fn(c):
+            return c[0] < n_eligible
 
-    _, _, _, col4row, _ = lax.while_loop(
-        cond_fn, body_fn, (jnp.int32(0), u, v, col4row, row4col))
+        def body_fn(c):
+            k, u, v, col4row, row4col = c
+            i = order[k]
+            u, v, col4row, row4col = _augment_row(
+                i, cost, u, v, col4row, row4col)
+            return (k + 1, u, v, col4row, row4col)
+
+        _, u, v, col4row, row4col = lax.while_loop(
+            cond_fn, body_fn, (jnp.int32(0), u, v, col4row, row4col))
+        return u, v, col4row, row4col
+
+    _, _, col4row, _ = lax.cond(
+        jnp.any(todo), augment_all, lambda c: c, (u, v, col4row, row4col))
     return col4row
 
 
@@ -242,35 +254,60 @@ def matching_cascade(cost: jnp.ndarray,
     match0 = jnp.full((t,), -1, jnp.int32)
     sentinel = jnp.int32(cascade_depth + 1)
 
-    # Distinct time_since_update levels actually present among eligible
-    # tracks, ascending and compacted to the front. The loop visits only
-    # those (typically 1-3 per frame), not all `cascade_depth` levels.
     lv = jnp.where(
         track_eligible & (track_level >= 1) & (track_level <= cascade_depth),
         track_level.astype(jnp.int32), sentinel)
-    sorted_lv = jnp.sort(lv)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sorted_lv[1:] != sorted_lv[:-1]])
-    is_distinct = is_first & (sorted_lv < sentinel)
-    order = jnp.argsort(~is_distinct, stable=True)
-    distinct = jnp.where(is_distinct[order], sorted_lv[order], sentinel)
-    n_levels = jnp.sum(is_distinct).astype(jnp.int32)
 
-    def cond_fn(carry):
-        i, _, det_unmatched = carry
-        return (i < n_levels) & jnp.any(det_unmatched)
-
-    def body_fn(carry):
-        i, match, det_unmatched = carry
-        level = distinct[i]
-        rows = track_eligible & (track_level == level)
-        lvl_match = min_cost_matching(cost, rows, det_unmatched,
-                                      jnp.float32(max_distance))
-        match = jnp.where(lvl_match >= 0, lvl_match, match)
+    def claim(lvl_match, det_unmatched):
         claimed = jnp.zeros((nd + 1,), jnp.bool_).at[
             jnp.where(lvl_match >= 0, lvl_match, nd)].set(True)[:nd]
-        return i + 1, match, det_unmatched & ~claimed
+        return det_unmatched & ~claimed
 
-    _, match, det_unmatched = lax.while_loop(
-        cond_fn, body_fn, (jnp.int32(0), match0, det_valid))
-    return match, det_unmatched
+    # Fast path: every eligible track sits at the SAME level — true on
+    # almost every frame of a healthy scene (all confirmed tracks matched
+    # last frame have tsu == 1 at matching time), where the cascade is by
+    # definition a single assignment. Skips the level sort/compaction and
+    # the level loop, whose fixed cost is paid per frame inside the scan.
+    lv_min = jnp.min(lv)
+
+    def single_level(_):
+        # rows from the masked `lv`, NOT track_level: an eligible track
+        # beyond cascade_depth (tsu == max_age+1, transiently alive until
+        # this update's mark_missed deletes it) has lv == sentinel and
+        # must not participate, exactly as in the level loop.
+        rows = (lv == lv_min) & (lv_min < sentinel)
+        lvl_match = min_cost_matching(cost, rows, det_valid,
+                                      jnp.float32(max_distance))
+        return lvl_match, claim(lvl_match, det_valid)
+
+    # General path: distinct levels ascending, compacted to the front; the
+    # loop visits only levels actually present (typically 1-3 per frame),
+    # not all `cascade_depth` levels.
+    def multi_level(_):
+        sorted_lv = jnp.sort(lv)
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), sorted_lv[1:] != sorted_lv[:-1]])
+        is_distinct = is_first & (sorted_lv < sentinel)
+        order = jnp.argsort(~is_distinct, stable=True)
+        distinct = jnp.where(is_distinct[order], sorted_lv[order], sentinel)
+        n_levels = jnp.sum(is_distinct).astype(jnp.int32)
+
+        def cond_fn(carry):
+            i, _, det_unmatched = carry
+            return (i < n_levels) & jnp.any(det_unmatched)
+
+        def body_fn(carry):
+            i, match, det_unmatched = carry
+            level = distinct[i]
+            rows = track_eligible & (track_level == level)
+            lvl_match = min_cost_matching(cost, rows, det_unmatched,
+                                          jnp.float32(max_distance))
+            match = jnp.where(lvl_match >= 0, lvl_match, match)
+            return i + 1, match, claim(lvl_match, det_unmatched)
+
+        _, match, det_unmatched = lax.while_loop(
+            cond_fn, body_fn, (jnp.int32(0), match0, det_valid))
+        return match, det_unmatched
+
+    one_level = jnp.all((lv == sentinel) | (lv == lv_min))
+    return lax.cond(one_level, single_level, multi_level, None)

@@ -80,7 +80,9 @@ class MultiStreamPipeline:
                  min_detection_confidence: float = config.DEEPSORT_MIN_CONFIDENCE,
                  tracker_params: TrackerParams | None = None,
                  max_reid_crops: int = config.MAX_REID_CROPS,
-                 preprocess_impl: str = "auto"):
+                 preprocess_impl: str = "auto",
+                 yolo_weights: str | None = None,
+                 reid_weights: str | None = None):
         self.n_streams = int(n_streams)
         self.frame_hw = tuple(frame_hw)
         self.mesh = mesh
@@ -96,8 +98,10 @@ class MultiStreamPipeline:
         self._preprocess = (preprocess_yolo_pallas
                             if preprocess_impl == "pallas"
                             else preprocess_yolo)
-        self.yolo, self.yolo_params = resolve_yolo_params(variant)
-        self.reid, self.reid_params = resolve_reid_params()
+        self.yolo, self.yolo_params = resolve_yolo_params(
+            variant, weights_path=yolo_weights)
+        self.reid, self.reid_params = resolve_reid_params(
+            weights_path=reid_weights)
         self._dtype = self.yolo.dtype
         self.tracker_params = tracker_params or TrackerParams(
             max_tracks=config.MAX_TRACKS,

@@ -393,11 +393,68 @@ def config9_synthetic_trained(frames_n=288):
           motp=round(mot.motp, 3), id_switches=mot.id_switches)
 
 
+def config10_multistream_trained(steps=192, chunk=12):
+    # chunk 12 x 8 streams = the same 96-frame flat detection batch as the
+    # single-stream configs; larger chunks OOM HBM at 540p x 8 streams.
+    """8 x 540p streams under REALISTIC load (self-trained detector +
+    embedder, ~9 live tracks per stream): aggregate tracked FPS on one
+    chip. The vmapped scan pays its control-region overhead once per time
+    step for all S streams — but vmap also converts every lax.cond into
+    executing BOTH branches and runs while_loops to the all-stream union,
+    so the cond-skip fast paths of the single-stream scan are forfeited.
+    Measured net: aggregate ~683 FPS vs 891 single-stream (the two effects
+    roughly cancel; 8 independent cameras still track at >85 FPS each on
+    one chip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pathlib import Path
+    from aicamera_tpu.parallel import MultiStreamPipeline
+    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+
+    root = Path(__file__).resolve().parent.parent
+    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
+    reid_weights = root / "models" / "reid" / \
+        "deepsort_reid_synthetic.msgpack"
+    if not weights.exists():
+        print(json.dumps({"config": "10_multistream_trained", "value": None,
+                          "note": "checkpoint missing — run "
+                                  "scripts/train_synthetic.py"}))
+        return
+    s = 8
+    spec = WorldSpec(max_objects=10, presence=1.0)
+    worlds = [TemporalWorld(spec, seed=100 + i, speed=3.0)
+              for i in range(s)]
+    hw = spec.hw
+    pipe = MultiStreamPipeline(
+        n_streams=s, frame_hw=hw, yolo_weights=str(weights),
+        reid_weights=str(reid_weights) if reid_weights.exists() else None)
+    staged = []
+    for t in range(0, steps, chunk):
+        block = np.stack([
+            np.stack([w.step()[0] for _ in range(chunk)]) for w in worlds])
+        c = jnp.asarray(block)             # (S, K, H, W, 3)
+        c.block_until_ready()
+        staged.append(c)
+    outs = pipe.step_chunk(np.zeros((s, chunk, *hw, 3), np.uint8))
+    jax.block_until_ready(outs)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for c in staged:
+            pipe.states, outs = pipe._chunk_step(
+                pipe.yolo_params, pipe.reid_params, pipe.states, c)
+        jax.block_until_ready(outs)
+        runs.append(steps * s / (time.perf_counter() - t0))
+    _emit("10_multistream_trained_8x540p", sorted(runs)[1],
+          unit="stream_fps", streams=s, chunk=chunk, method="median_of_3")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
            7: config7_worst_case_load, 8: config8_latency,
-           9: config9_synthetic_trained}
+           9: config9_synthetic_trained, 10: config10_multistream_trained}
 
 
 def main():
