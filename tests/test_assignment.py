@@ -173,3 +173,70 @@ def test_cascade_multiple_levels():
     assert match[1] == 1
     assert match[0] == 0
     assert not np.asarray(det_unmatched).any()
+
+
+def test_cascade_single_level_fast_path_matches_general():
+    """All-same-level scenes take the lax.cond fast path; spiking one
+    track to a second level forces the general loop. Both must agree with
+    each other on the shared sub-problem and preserve claim semantics."""
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        cost = rng.uniform(0.0, 0.4, size=(6, 5)).astype(np.float32)
+        eligible = rng.random(6) < 0.8
+        det_valid = rng.random(5) < 0.8
+        # fast path: every eligible track at level 1
+        tsu_flat = np.ones(6, np.int32)
+        m1, u1 = matching_cascade(
+            jnp.asarray(cost), jnp.asarray(tsu_flat), jnp.asarray(eligible),
+            jnp.asarray(det_valid), max_distance=0.2, cascade_depth=70)
+        # general path: same levels, but one INELIGIBLE track at level 2
+        # (adds a second distinct value only if it were eligible — it is
+        # not, so the solved problem is identical)
+        tsu_mixed = tsu_flat.copy()
+        victim = int(np.argmin(eligible))  # an ineligible slot if any
+        if not eligible[victim]:
+            tsu_mixed[victim] = 2
+        m2, u2 = matching_cascade(
+            jnp.asarray(cost), jnp.asarray(tsu_mixed), jnp.asarray(eligible),
+            jnp.asarray(det_valid), max_distance=0.2, cascade_depth=70)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def test_cascade_excludes_tracks_beyond_depth():
+    """An eligible track whose tsu exceeds cascade_depth (transiently
+    alive until mark_missed deletes it) must never match — including on
+    the single-level fast path where it is the ONLY eligible track."""
+    cost = np.array([[0.01]], np.float32)
+    match, det_unmatched = matching_cascade(
+        jnp.asarray(cost), jnp.asarray(np.array([71], np.int32)),
+        jnp.ones(1, bool), jnp.ones(1, bool),
+        max_distance=0.2, cascade_depth=70)
+    assert int(np.asarray(match)[0]) == -1
+    assert bool(np.asarray(det_unmatched)[0])
+    # and mixed with a valid-level track (general path): only the valid
+    # one matches
+    cost2 = np.array([[0.01, 0.05], [0.02, 0.03]], np.float32)
+    match2, _ = matching_cascade(
+        jnp.asarray(cost2), jnp.asarray(np.array([71, 1], np.int32)),
+        jnp.ones(2, bool), jnp.ones(2, bool),
+        max_distance=0.2, cascade_depth=70)
+    match2 = np.asarray(match2)
+    assert match2[0] == -1
+    assert match2[1] == 0  # its row minimum (0.02 < 0.03)
+
+
+def test_solve_square_fast_path_skips_augments_correctly():
+    """Matrices engineered so pre-assignment fully resolves (distinct
+    argmin columns) must give the scipy optimum via the skip path."""
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        n = 8
+        base = rng.uniform(1.0, 2.0, size=(n, n)).astype(np.float32)
+        perm = rng.permutation(n)
+        base[np.arange(n), perm] = rng.uniform(0.0, 0.1, size=n)
+        got = np.asarray(solve_square(jnp.asarray(base),
+                                      jnp.ones(n, bool)))
+        _, want = linear_sum_assignment(base)
+        np.testing.assert_array_equal(got, want)
