@@ -209,6 +209,13 @@ class TemporalWorld:
         self.vel = self._rng.normal(0.0, speed, (n, 2)).astype(np.float32)
         self._frame_keys = jax.random.split(
             jax.random.PRNGKey(self._rng.integers(2**31)), 4096)
+        # One jitted program per frame (render + ground truth fused) instead
+        # of dozens of eager dispatches; outputs come back in one
+        # device_get batch. Matters on the tunneled TPU runtime, where
+        # per-dispatch/per-transfer overhead dominates (CLAUDE.md).
+        self._render_gt = jax.jit(
+            lambda obj, key: (render(obj, self.spec, key),
+                              *ground_truth(obj, self.spec)))
         self.t = 0
 
     def step(self):
@@ -229,10 +236,8 @@ class TemporalWorld:
         self.vel[:, 1] = np.where((cy < 0) | (cy > h),
                                   -self.vel[:, 1], self.vel[:, 1])
         obj_j = {k: jnp.asarray(v) for k, v in self.obj.items()}
-        frame = np.asarray(
-            render(obj_j, self.spec, self._frame_keys[self.t % 4096]))
-        boxes, cls, valid = (np.asarray(a) for a in
-                             ground_truth(obj_j, self.spec))
+        frame, boxes, cls, valid = jax.device_get(
+            self._render_gt(obj_j, self._frame_keys[self.t % 4096]))
         ids = np.arange(1, self.spec.max_objects + 1)
         self.t += 1
         return frame, boxes, ids, cls, valid

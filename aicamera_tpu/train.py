@@ -325,22 +325,30 @@ def train_reid(world: WorldSpec = WorldSpec(),
         params = template_params(
             model, jnp.zeros((1, *pkg_config.REID_INPUT_SHAPE, 3),
                              jnp.float32))
+    # Each dispatch runs exactly cfg.scan fused steps, so the trained step
+    # count is cfg.steps rounded UP to a scan multiple; the LR schedule
+    # horizon must match the actual count or the tail trains at end_value.
+    n_disp = max(1, -(-cfg.steps // cfg.scan))
+    total_steps = n_disp * cfg.scan
+    if total_steps != cfg.steps:
+        log(f"reid steps rounded {cfg.steps} -> {total_steps} "
+            f"(scan={cfg.scan} per dispatch)")
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, cfg.lr, cfg.warmup, max(cfg.steps, cfg.warmup + 1), cfg.lr / 20)
+        0.0, cfg.lr, cfg.warmup, max(total_steps, cfg.warmup + 1),
+        cfg.lr / 20)
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adamw(sched, weight_decay=cfg.weight_decay))
     opt_state = tx.init(params)
     step_fn = make_reid_train_step(model, world, cfg, tx)
 
     key = jax.random.PRNGKey(cfg.seed)
-    n_disp = max(1, cfg.steps // cfg.scan)
     for i in range(n_disp):
         key, sub = jax.random.split(key)
         params, opt_state, losses = step_fn(params, opt_state, sub)
         if i % max(1, n_disp // 15) == 0 or i == n_disp - 1:
             ls = np.asarray(losses)
-            log(f"reid step {min((i + 1) * cfg.scan, cfg.steps):>5}"
-                f"/{cfg.steps}  loss {ls[-1]:.4f} (mean {ls.mean():.4f})")
+            log(f"reid step {(i + 1) * cfg.scan:>5}"
+                f"/{total_steps}  loss {ls[-1]:.4f} (mean {ls.mean():.4f})")
     return model, params
 
 
@@ -362,22 +370,29 @@ def train_detector(variant: str = "n", world: WorldSpec = WorldSpec(),
             model, jnp.zeros((1, 64, 64, 3), jnp.float32))
     spec = letterbox_spec(world.hw, input_hw)
 
+    # See train_reid: actual trained steps = scan-multiple ceiling, and the
+    # schedule horizon must match it.
+    n_disp = max(1, -(-cfg.steps // cfg.scan))
+    total_steps = n_disp * cfg.scan
+    if total_steps != cfg.steps:
+        log(f"steps rounded {cfg.steps} -> {total_steps} "
+            f"(scan={cfg.scan} per dispatch)")
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, cfg.lr, cfg.warmup, max(cfg.steps, cfg.warmup + 1), cfg.lr / 20)
+        0.0, cfg.lr, cfg.warmup, max(total_steps, cfg.warmup + 1),
+        cfg.lr / 20)
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adamw(sched, weight_decay=cfg.weight_decay))
     opt_state = tx.init(params)
     step_fn = make_train_step(model, world, spec, input_hw, cfg, tx)
 
     key = jax.random.PRNGKey(cfg.seed)
-    n_disp = max(1, cfg.steps // cfg.scan)
     for i in range(n_disp):
         key, sub = jax.random.split(key)
         params, opt_state, losses, auxes = step_fn(params, opt_state, sub)
         if i % max(1, n_disp // 20) == 0 or i == n_disp - 1:
             ls = np.asarray(losses)
             ax = {k: float(np.asarray(v)[-1]) for k, v in auxes.items()}
-            log(f"step {min((i + 1) * cfg.scan, cfg.steps):>5}/{cfg.steps}"
+            log(f"step {(i + 1) * cfg.scan:>5}/{total_steps}"
                 f"  loss {ls[-1]:.3f} (mean {ls.mean():.3f})"
                 f"  cls {ax['cls']:.3f} iou {ax['iou']:.3f}"
                 f" dfl {ax['dfl']:.3f}")

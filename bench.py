@@ -106,8 +106,9 @@ def main():
     # above under-exercises the tracker (no detection survives the class/
     # confidence prefilter, so the cond-guarded KF/cascade stages skip).
     realistic_fps = None
-    det_w = Path("models/detection/yolov8n_synthetic.msgpack")
-    reid_w = Path("models/reid/deepsort_reid_synthetic.msgpack")
+    root = Path(__file__).resolve().parent
+    det_w = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
+    reid_w = root / "models" / "reid" / "deepsort_reid_synthetic.msgpack"
     if det_w.exists():
         from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
         world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0),

@@ -34,6 +34,7 @@ def evaluate(model, params, world, input_hw, n_scenes=48, conf=0.3,
     import jax.numpy as jnp
     import numpy as np
 
+    from aicamera_tpu.eval import _iou_matrix
     from aicamera_tpu.ops.nms import fused_decode_nms
     from aicamera_tpu.ops.preprocess import (letterbox_spec,
                                              preprocess_yolo,
@@ -67,19 +68,16 @@ def evaluate(model, params, world, input_hw, n_scenes=48, conf=0.3,
             gt = [(gtb[j, g], gtc[j, g]) for g in range(len(gtv[j]))
                   if gtv[j, g]]
             used = [False] * len(gt)
-            for dbox, dcls, _ in det:
+            iou = _iou_matrix(
+                np.array([d[0] for d in det], np.float32).reshape(-1, 4),
+                np.array([g[0] for g in gt], np.float32).reshape(-1, 4))
+            for di, (_, dcls, _s) in enumerate(det):
                 best, bi = 0.0, -1
-                for g, (gbox, gcls) in enumerate(gt):
+                for g, (_, gcls) in enumerate(gt):
                     if used[g] or gcls != dcls:
                         continue
-                    ix1 = max(dbox[0], gbox[0]); iy1 = max(dbox[1], gbox[1])
-                    ix2 = min(dbox[2], gbox[2]); iy2 = min(dbox[3], gbox[3])
-                    inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
-                    a1 = (dbox[2] - dbox[0]) * (dbox[3] - dbox[1])
-                    a2 = (gbox[2] - gbox[0]) * (gbox[3] - gbox[1])
-                    iou = inter / max(a1 + a2 - inter, 1e-7)
-                    if iou > best:
-                        best, bi = iou, g
+                    if iou[di, g] > best:
+                        best, bi = float(iou[di, g]), g
                 if best >= iou_match:
                     used[bi] = True
                     tp += 1
@@ -131,10 +129,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reid", action="store_true",
                     help="train the ReID embedder instead of the detector")
-    ap.add_argument("--steps", type=int, default=3000)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--scan", type=int, default=25)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    # None = per-mode default (detector: 3000 steps / batch 8 / lr 2e-3;
+    # reid: 1500 steps / 4 scenes / lr 1e-3). Explicit values are always
+    # honored in both modes.
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="images per step (detector) / scenes per step "
+                         "(reid)")
+    ap.add_argument("--scan", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--out", type=str, default=str(DEFAULT_OUT))
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--min-prec", type=float, default=0.85)
@@ -164,9 +167,12 @@ def main():
             from aicamera_tpu.runtime.params import resolve_reid_params
             model, params = resolve_reid_params(weights_path=str(reid_out))
         else:
-            cfg = ReIDTrainConfig(steps=args.steps if args.steps != 3000
-                                  else 1500, lr=args.lr
-                                  if args.lr != 2e-3 else 1e-3)
+            base = ReIDTrainConfig()
+            cfg = ReIDTrainConfig(
+                steps=args.steps if args.steps is not None else base.steps,
+                scenes=args.batch if args.batch is not None else base.scenes,
+                scan=args.scan if args.scan is not None else base.scan,
+                lr=args.lr if args.lr is not None else base.lr)
             t0 = time.time()
             model, params = train_reid(world=world, cfg=cfg)
             print(f"trained reid in {time.time() - t0:.0f}s")
@@ -193,12 +199,16 @@ def main():
         from aicamera_tpu.runtime.params import resolve_yolo_params
         model, params = resolve_yolo_params("n", weights_path=str(out))
     else:
-        cfg = TrainConfig(steps=args.steps, batch=args.batch,
-                          scan=args.scan, lr=args.lr)
+        base = TrainConfig()
+        cfg = TrainConfig(
+            steps=args.steps if args.steps is not None else base.steps,
+            batch=args.batch if args.batch is not None else base.batch,
+            scan=args.scan if args.scan is not None else base.scan,
+            lr=args.lr if args.lr is not None else base.lr)
         t0 = time.time()
         model, params = train_detector(world=world, input_hw=input_hw,
                                        cfg=cfg)
-        print(f"trained {args.steps} steps in {time.time() - t0:.0f}s")
+        print(f"trained {cfg.steps} steps in {time.time() - t0:.0f}s")
 
     prec, rec, tp, fp, fn = evaluate(model, params, world, input_hw)
     print(json.dumps({"precision": round(prec, 4), "recall": round(rec, 4),

@@ -176,30 +176,36 @@ def test_cascade_multiple_levels():
 
 
 def test_cascade_single_level_fast_path_matches_general():
-    """All-same-level scenes take the lax.cond fast path; spiking one
-    track to a second level forces the general loop. Both must agree with
-    each other on the shared sub-problem and preserve claim semantics."""
+    """The lax.cond fast path (all eligible tracks at ONE level) must agree
+    with the general level loop on the same sub-problem. The general path is
+    genuinely forced by appending an extra ELIGIBLE track at a second level
+    whose whole cost row is infeasible (> max_distance): two distinct
+    eligible levels -> `one_level` is False -> the while_loop runs, yet the
+    extra track can never match or claim a detection, so the solved
+    sub-problem over the original rows is identical."""
     rng = np.random.default_rng(7)
     for _ in range(10):
         cost = rng.uniform(0.0, 0.4, size=(6, 5)).astype(np.float32)
         eligible = rng.random(6) < 0.8
         det_valid = rng.random(5) < 0.8
+        if not eligible.any() or not det_valid.any():
+            continue
         # fast path: every eligible track at level 1
         tsu_flat = np.ones(6, np.int32)
         m1, u1 = matching_cascade(
             jnp.asarray(cost), jnp.asarray(tsu_flat), jnp.asarray(eligible),
             jnp.asarray(det_valid), max_distance=0.2, cascade_depth=70)
-        # general path: same levels, but one INELIGIBLE track at level 2
-        # (adds a second distinct value only if it were eligible — it is
-        # not, so the solved problem is identical)
-        tsu_mixed = tsu_flat.copy()
-        victim = int(np.argmin(eligible))  # an ineligible slot if any
-        if not eligible[victim]:
-            tsu_mixed[victim] = 2
+        # general path: same rows plus an eligible level-2 track with an
+        # all-infeasible row (0.9 > 0.2 everywhere)
+        cost_g = np.vstack([cost, np.full((1, 5), 0.9, np.float32)])
+        tsu_g = np.concatenate([tsu_flat, [2]]).astype(np.int32)
+        eligible_g = np.concatenate([eligible, [True]])
         m2, u2 = matching_cascade(
-            jnp.asarray(cost), jnp.asarray(tsu_mixed), jnp.asarray(eligible),
+            jnp.asarray(cost_g), jnp.asarray(tsu_g), jnp.asarray(eligible_g),
             jnp.asarray(det_valid), max_distance=0.2, cascade_depth=70)
-        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        m2 = np.asarray(m2)
+        assert m2[6] == -1  # the infeasible forcing row never matches
+        np.testing.assert_array_equal(np.asarray(m1), m2[:6])
         np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
 
 
@@ -214,16 +220,18 @@ def test_cascade_excludes_tracks_beyond_depth():
         max_distance=0.2, cascade_depth=70)
     assert int(np.asarray(match)[0]) == -1
     assert bool(np.asarray(det_unmatched)[0])
-    # and mixed with a valid-level track (general path): only the valid
-    # one matches
-    cost2 = np.array([[0.01, 0.05], [0.02, 0.03]], np.float32)
+    # and mixed with TWO distinct valid levels (tsu 1 and 2), which forces
+    # the general while_loop path (`one_level` is False): the beyond-depth
+    # track must be excluded there too, even though its row is cheapest
+    cost2 = np.array([[0.01, 0.01], [0.05, 0.10], [0.02, 0.03]], np.float32)
     match2, _ = matching_cascade(
-        jnp.asarray(cost2), jnp.asarray(np.array([71, 1], np.int32)),
-        jnp.ones(2, bool), jnp.ones(2, bool),
+        jnp.asarray(cost2), jnp.asarray(np.array([71, 1, 2], np.int32)),
+        jnp.ones(3, bool), jnp.ones(2, bool),
         max_distance=0.2, cascade_depth=70)
     match2 = np.asarray(match2)
-    assert match2[0] == -1
-    assert match2[1] == 0  # its row minimum (0.02 < 0.03)
+    assert match2[0] == -1  # beyond depth, never matches
+    assert match2[1] == 0  # level 1 solves first, takes its row min
+    assert match2[2] == 1  # level 2 gets the remaining detection
 
 
 def test_solve_square_fast_path_skips_augments_correctly():
