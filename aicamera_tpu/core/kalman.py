@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 from jax import lax
 
 # Full-f32 matmuls: the KF's 8x8 covariance algebra is precision-sensitive
@@ -111,12 +110,66 @@ def project(mean: jnp.ndarray, cov: jnp.ndarray):
     return proj_mean, proj_cov
 
 
+def _chol_small(s, d: int):
+    """Closed-form lower Cholesky of a tiny (..., d, d) SPD matrix.
+
+    Returns the factor as a list-of-lists of (...)-shaped scalars
+    (``l[i][j]`` for j <= i). This is the same recurrence LAPACK ``potrf``
+    runs, unrolled: on TPU the batched 4x4 ``cho_factor``/``cholesky``
+    lowers to a LAPACK-style custom-call costing ~50 us per (128,4,4)
+    invocation (~10 ms per 96-frame chunk across update+gating); the
+    unrolled form is ~20 fusable VPU ops. Non-PD inputs produce NaN
+    (sqrt of a negative), which callers map to +inf exactly like the
+    reference's LinAlgError path (kalman_filter.py:241-247).
+    """
+    l = [[None] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i + 1):
+            acc = s[..., i, j]
+            for k in range(j):
+                acc = acc - l[i][k] * l[j][k]
+            l[i][j] = jnp.sqrt(acc) if i == j else acc / l[j][j]
+    return l
+
+
+def _solve_lower(l, b, d: int):
+    """Forward substitution: solve L y = b for b ``(..., d, M)``.
+
+    Returns y as a list of d ``(..., M)`` rows."""
+    ys = []
+    for i in range(d):
+        acc = b[..., i, :]
+        for k in range(i):
+            acc = acc - l[i][k][..., None] * ys[k]
+        ys.append(acc / l[i][i][..., None])
+    return ys
+
+
+def _solve_upper_t(l, ys, d: int):
+    """Back substitution: solve Lᵀ x = y (y from :func:`_solve_lower`).
+
+    Returns x ``(..., d, M)``."""
+    xs = [None] * d
+    for i in reversed(range(d)):
+        acc = ys[i]
+        for k in range(i + 1, d):
+            acc = acc - l[k][i][..., None] * xs[k]
+        xs[i] = acc / l[i][i][..., None]
+    return jnp.stack(xs, axis=-2)
+
+
+def _cho_solve_small(s, b, d: int):
+    """Solve S x = b for tiny SPD ``(..., d, d)`` S and ``(..., d, M)`` b."""
+    l = _chol_small(s, d)
+    return _solve_upper_t(l, _solve_lower(l, b, d), d)
+
+
 def _update_single(mean, cov, measurement):
     proj_mean, s = project(mean, cov)
-    chol = jsl.cho_factor(s, lower=True)
-    # K = P Hᵀ S⁻¹, computed via Cholesky solve (reference :185-190).
+    # K = P Hᵀ S⁻¹ via the closed-form Cholesky solve (reference :185-190
+    # uses scipy cho_factor/cho_solve; see _chol_small for why not here).
     phT = cov[:, :_NDIM]  # P @ Hᵀ — H selects the first four state dims
-    gain = jsl.cho_solve(chol, phT.T).T  # (8, 4)
+    gain = _cho_solve_small(s, phT.T, _NDIM).T  # (8, 4)
     innovation = measurement - proj_mean
     new_mean = mean + jnp.matmul(gain, innovation, precision=_PRECISION)
     # P' = P − K S Kᵀ (reference :201-202).
@@ -162,10 +215,10 @@ def gating_distance(mean: jnp.ndarray, cov: jnp.ndarray,
     meas = measurements_xyah.astype(jnp.float32)[..., :d]
 
     def per_track(pm, pc):
-        chol = jnp.linalg.cholesky(pc)  # lower; NaNs if not PD
+        l = _chol_small(pc, d)  # closed-form lower; NaNs if not PD
         delta = meas - pm  # (N, d)
-        z = jsl.solve_triangular(chol, delta.T, lower=True)  # (d, N)
-        return jnp.sum(z * z, axis=0)
+        z = _solve_lower(l, delta.T, d)  # d rows of (N,)
+        return sum(zi * zi for zi in z)
 
     dist = jax.vmap(per_track)(proj_mean, proj_cov)  # (T, N)
     return jnp.where(jnp.isnan(dist), jnp.inf, dist)
