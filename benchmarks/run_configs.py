@@ -1,10 +1,17 @@
-"""Benchmark harness for the five BASELINE.json configs.
+"""Benchmark harness for the five BASELINE.json configs, plus extras.
 
   1. YOLOv8n single-frame detection (CPU backend)
   2. YOLOv8n detection loop over the test clip with decode+NMS
   3. Full YOLOv8n + DeepSORT ReID tracking on the clip (= bench.py headline)
   4. Batched multi-stream tracking: 8x 720p streams, batched ReID crops
   5. YOLOv8m @ 1080p crowded-scene tracking (256 track slots, 100 dets)
+  6. Streaming end-to-end incl. host decode + upload (CLI path)
+  7. Worst-case load: saturated 64-detection slate every frame
+  8. Single-frame (chunk-1) latency p50/p99 — webcam/serving mode
+  9. Realistic load: self-trained detector+embedder, MOTA-checked
+ 10. 8x540p multi-stream under realistic trained load
+ 11. Raw YOLOv8n forward (reference 'raw engine speed' row, ~400+ FPS)
+ 12. Raw ReID embed (reference raw engine row, ~600+ crops/s)
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all
@@ -402,8 +409,8 @@ def config10_multistream_trained(steps=192, chunk=12):
     step for all S streams — but vmap also converts every lax.cond into
     executing BOTH branches and runs while_loops to the all-stream union,
     so the cond-skip fast paths of the single-stream scan are forfeited.
-    Measured net: aggregate ~683 FPS vs 891 single-stream (the two effects
-    roughly cancel; 8 independent cameras still track at >85 FPS each on
+    Measured net: aggregate ~734 FPS vs 1062 single-stream (the two effects
+    roughly cancel; 8 independent cameras still track at >90 FPS each on
     one chip)."""
     import jax
     import jax.numpy as jnp
@@ -450,11 +457,74 @@ def config10_multistream_trained(steps=192, chunk=12):
           unit="stream_fps", streams=s, chunk=chunk, method="median_of_3")
 
 
+def config11_raw_detector(iters=48):
+    """Raw YOLOv8n forward throughput at 640x640 — the mirror of the
+    reference's 'raw TRT engine speed' row (~400+ FPS at 1x3x640x640 fp16,
+    reference README.md:156): model execution only, no preprocess, decode
+    or NMS. Reported at the reference's batch 1 and at the batch-96 chunk
+    the fused pipeline actually dispatches (TPU-native batching is where
+    the MXU throughput lives; batch 1 pays the per-dispatch tunnel RPC)."""
+    import jax
+    import jax.numpy as jnp
+    from aicamera_tpu.runtime.params import resolve_yolo_params
+    model, params = resolve_yolo_params("n")
+    fwd = jax.jit(model.apply)
+    fps = {}
+    for batch in (1, 96):
+        x = jnp.zeros((batch, 640, 640, 3), jnp.bfloat16)
+        jax.block_until_ready(fwd(params, x))
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            # bounded in-flight window: unboundedly retained head outputs
+            # (~230 MB per batch-96 dispatch) exhaust HBM
+            inflight = []
+            for _ in range(iters):
+                inflight.append(fwd(params, x))
+                if len(inflight) >= 4:
+                    jax.block_until_ready(inflight.pop(0))
+            jax.block_until_ready(inflight)
+            runs.append(batch * iters / (time.perf_counter() - t0))
+        fps[batch] = sorted(runs)[1]
+    _emit("11_raw_yolov8n_fwd_640", fps[96], batch=96,
+          batch1_fps=round(fps[1], 1), method="median_of_3",
+          note="model exec only; reference raw engine ~400+ FPS. batch-1 "
+               "pays the ~27ms tunnel RPC per dispatch (PCIe hosts don't)")
+
+
+def config12_raw_reid(iters=48):
+    """Raw ReID embedder throughput — the mirror of the reference's raw
+    deepsort_reid engine row (~600+ crops/s at batch<=8 fp16, reference
+    README.md:157): forward only, preprocessed 128x64 crops in. Reported
+    at the reference engine's max batch (8, export_trt_engines.sh:32-34)
+    and at the pipeline's largest crop bucket (64)."""
+    import jax
+    import jax.numpy as jnp
+    from aicamera_tpu.runtime.params import resolve_reid_params
+    model, params = resolve_reid_params()
+    fwd = jax.jit(model.apply)
+    cps = {}
+    for batch in (8, 64):
+        x = jnp.zeros((batch, 128, 64, 3), jnp.float32)
+        jax.block_until_ready(fwd(params, x))
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            outs = [fwd(params, x) for _ in range(iters)]
+            jax.block_until_ready(outs)
+            runs.append(batch * iters / (time.perf_counter() - t0))
+        cps[batch] = sorted(runs)[1]
+    _emit("12_raw_reid_embed", cps[64], unit="crops_per_s", batch=64,
+          batch8_cps=round(cps[8], 1), method="median_of_3",
+          note="model exec only; reference raw engine ~600+ crops/s")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
            7: config7_worst_case_load, 8: config8_latency,
-           9: config9_synthetic_trained, 10: config10_multistream_trained}
+           9: config9_synthetic_trained, 10: config10_multistream_trained,
+           11: config11_raw_detector, 12: config12_raw_reid}
 
 
 def main():
