@@ -1,4 +1,4 @@
-"""MOT evaluation: MOTA / MOTP / ID-switch accounting.
+"""Evaluation: CLEAR-MOT tracking metrics and COCO-style detection mAP.
 
 The reference lists MOT metrics as future work (reference README.md:212) —
 this module provides them: the CLEAR-MOT protocol with IoU-based
@@ -7,7 +7,10 @@ tracking ID consistency across frames.
 
 Use :func:`evaluate_mot` on per-frame (ground truth, hypothesis) box/id
 lists, e.g. to score the tracker against MOT-format annotations or to
-regression-test against a recorded golden run.
+regression-test against a recorded golden run, and
+:func:`evaluate_detections` for detector quality (AP50/AP75/mAP@[.5:.95],
+COCO 101-point protocol) against per-frame ground truth — e.g. the exact
+boxes the synthetic world emits (``aicamera_tpu.synthetic``).
 """
 
 from __future__ import annotations
@@ -124,3 +127,128 @@ def evaluate_mot(gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
     return MOTResult(mota=mota, motp=motp, id_switches=idsw,
                      false_positives=fp, misses=fn, matches=matches,
                      num_gt=num_gt)
+
+
+@dataclasses.dataclass
+class DetectionAPResult:
+    map_5095: float                 # mean AP over IoU .50:.05:.95
+    ap50: float
+    ap75: float
+    per_class_ap50: Dict[int, float]
+    num_gt: int
+    num_pred: int
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+def _average_precision(scores: np.ndarray, tp: np.ndarray,
+                       num_gt: int) -> float:
+    """COCO 101-point interpolated AP for one class at one IoU threshold.
+
+    Args:
+        scores: (P,) prediction confidences (any order).
+        tp: (P,) 1.0 where the prediction matched an unclaimed gt box.
+        num_gt: total ground-truth boxes of this class.
+    """
+    if num_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores, kind="stable")
+    tp = tp[order]
+    cum_tp = np.cumsum(tp)
+    cum_fp = np.cumsum(1.0 - tp)
+    recall = cum_tp / num_gt
+    precision = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
+    # precision envelope (monotone non-increasing from the right)
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
+    # 101-point interpolation: p at the first recall point >= each level
+    levels = np.linspace(0.0, 1.0, 101)
+    idx = np.searchsorted(recall, levels, side="left")
+    p_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
+    return float(p_at.mean())
+
+
+def _match_tp(gt_by_frame: List[np.ndarray], preds: List[Tuple[int, float, np.ndarray]],
+              thr: float) -> np.ndarray:
+    """Greedy COCO matching at one IoU threshold.
+
+    Predictions (already one class) are visited in descending score; each
+    claims the highest-IoU unclaimed gt box in its frame if IoU >= thr.
+    Returns a tp flag per prediction, aligned with ``preds`` order.
+    """
+    order = sorted(range(len(preds)), key=lambda i: -preds[i][1])
+    claimed = [np.zeros(len(g), bool) for g in gt_by_frame]
+    tp = np.zeros(len(preds), np.float64)
+    for i in order:
+        fi, _, box = preds[i]
+        gt = gt_by_frame[fi]
+        if len(gt) == 0:
+            continue
+        iou = _iou_matrix(box.reshape(1, 4), gt)[0]
+        iou = np.where(claimed[fi], -1.0, iou)
+        j = int(np.argmax(iou))
+        if iou[j] >= thr:
+            claimed[fi][j] = True
+            tp[i] = 1.0
+    return tp
+
+
+def evaluate_detections(
+        gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+        pred_frames: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        iou_thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
+) -> DetectionAPResult:
+    """COCO-protocol detection AP over a set of frames.
+
+    Args:
+        gt_frames: per frame, (boxes_xyxy (N,4), class_ids (N,)).
+        pred_frames: per frame, (boxes_xyxy (M,4), scores (M,),
+            class_ids (M,)).
+        iou_thresholds: IoU levels to average over (default .50:.05:.95).
+
+    Returns:
+        DetectionAPResult. Classes with no ground truth anywhere are
+        excluded from the means (COCO convention); a class with gt but no
+        predictions scores 0.
+    """
+    assert len(gt_frames) == len(pred_frames)
+    gt = [(np.asarray(b, np.float32).reshape(-1, 4),
+           np.asarray(i).reshape(-1).astype(int)) for b, i in gt_frames]
+    pred_cls: Dict[int, List[Tuple[int, float, np.ndarray]]] = {}
+    num_pred_total = 0
+    for fi, (p_boxes, p_scores, p_ids) in enumerate(pred_frames):
+        p_boxes = np.asarray(p_boxes, np.float32).reshape(-1, 4)
+        p_scores = np.asarray(p_scores, np.float64).reshape(-1)
+        p_ids = np.asarray(p_ids).reshape(-1).astype(int)
+        num_pred_total += len(p_ids)
+        for j in range(len(p_ids)):
+            pred_cls.setdefault(int(p_ids[j]), []).append(
+                (fi, float(p_scores[j]), p_boxes[j]))
+
+    num_gt_total = sum(len(i) for _, i in gt)
+    classes = sorted({int(c) for _, ids in gt for c in ids.tolist()})
+    thr_keys = [round(float(t), 2) for t in iou_thresholds]
+    ap: Dict[int, Dict[float, float]] = {}
+    for c in classes:
+        gt_by_frame = [b[i == c] for b, i in gt]
+        n_gt_c = sum(len(g) for g in gt_by_frame)
+        preds = pred_cls.get(c, [])
+        scores = np.array([s for _, s, _ in preds], np.float64)
+        ap[c] = {t: _average_precision(scores,
+                                       _match_tp(gt_by_frame, preds, t),
+                                       n_gt_c)
+                 for t in thr_keys}
+
+    def _mean(vals):
+        vals = [v for v in vals if not np.isnan(v)]
+        return float(np.mean(vals)) if vals else 0.0
+
+    map_5095 = _mean([ap[c][t] for c in classes for t in thr_keys])
+    ap50 = _mean([ap[c][0.5] for c in classes if 0.5 in ap[c]])
+    ap75 = _mean([ap[c][0.75] for c in classes if 0.75 in ap[c]])
+    return DetectionAPResult(
+        map_5095=map_5095, ap50=ap50, ap75=ap75,
+        per_class_ap50={c: ap[c].get(0.5, float("nan")) for c in classes},
+        num_gt=num_gt_total, num_pred=num_pred_total)

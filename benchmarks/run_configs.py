@@ -340,7 +340,7 @@ def config9_synthetic_trained(frames_n=288):
     import jax.numpy as jnp
     import numpy as np
     from pathlib import Path
-    from aicamera_tpu.eval import evaluate_mot
+    from aicamera_tpu.eval import evaluate_detections, evaluate_mot
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
 
@@ -355,11 +355,12 @@ def config9_synthetic_trained(frames_n=288):
         return
     world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0), seed=4,
                           speed=3.0)
-    frames, gt = [], []
+    frames, gt, gt_det = [], [], []
     for _ in range(frames_n):
         f, b, ids, cls, v = world.step()
         frames.append(f)
         gt.append((b[v], ids[v]))
+        gt_det.append((b[v], cls[v]))
     arr = np.stack(frames)
 
     k = 96
@@ -384,9 +385,9 @@ def config9_synthetic_trained(frames_n=288):
         jax.device_get(outs)
         runs.append(n / (time.perf_counter() - t0))
 
-    # tracking-quality sanity on the same sequence (streamed path)
+    # tracking + detection quality sanity on the same sequence
     pipe.reset()
-    hyp = []
+    hyp, preds = [], []
     for res in pipe.process_frames(iter(list(arr[:96]))):
         if res.tracks:
             hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
@@ -394,10 +395,13 @@ def config9_synthetic_trained(frames_n=288):
         else:
             hyp.append((np.zeros((0, 4), np.float32),
                         np.zeros((0,), np.int64)))
+        preds.append((res.det_boxes, res.det_scores, res.det_labels))
     mot = evaluate_mot(gt[5:96], hyp[5:96])
+    ap = evaluate_detections(gt_det[:96], preds)
     _emit("9_synthetic_trained_tracking", sorted(runs)[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
-          motp=round(mot.motp, 3), id_switches=mot.id_switches)
+          motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          ap50=round(ap.ap50, 3), map_5095=round(ap.map_5095, 3))
 
 
 def config10_multistream_trained(steps=192, chunk=12):

@@ -57,11 +57,16 @@ def evaluate(model, params, world, input_hw, n_scenes=48, conf=0.3,
 
     b = 8
     tp = fp = fn = 0
+    gt_frames, pred_frames = [], []   # for COCO mAP (eval.py)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_scenes)
     for i in range(0, n_scenes, b):
         out = detect_batch(params, keys[i:i + b])
         num, boxes, scores, labels, gtb, gtc, gtv = map(np.asarray, out)
         for j in range(len(num)):
+            keep = [d for d in range(num[j]) if scores[j, d] >= conf]
+            pred_frames.append((boxes[j, keep], scores[j, keep],
+                                labels[j, keep]))
+            gt_frames.append((gtb[j][gtv[j]], gtc[j][gtv[j]]))
             det = [(boxes[j, d], labels[j, d], scores[j, d])
                    for d in range(num[j]) if scores[j, d] >= conf]
             det.sort(key=lambda t: -t[2])
@@ -86,7 +91,9 @@ def evaluate(model, params, world, input_hw, n_scenes=48, conf=0.3,
             fn += used.count(False)
     prec = tp / max(tp + fp, 1)
     rec = tp / max(tp + fn, 1)
-    return prec, rec, tp, fp, fn
+    from aicamera_tpu.eval import evaluate_detections
+    ap = evaluate_detections(gt_frames, pred_frames)
+    return prec, rec, tp, fp, fn, ap
 
 
 def evaluate_reid(model, params, world, n_scenes=24, seed=5555):
@@ -210,9 +217,12 @@ def main():
                                        cfg=cfg)
         print(f"trained {cfg.steps} steps in {time.time() - t0:.0f}s")
 
-    prec, rec, tp, fp, fn = evaluate(model, params, world, input_hw)
+    prec, rec, tp, fp, fn, ap = evaluate(model, params, world, input_hw)
     print(json.dumps({"precision": round(prec, 4), "recall": round(rec, 4),
-                      "tp": tp, "fp": fp, "fn": fn}))
+                      "tp": tp, "fp": fp, "fn": fn,
+                      "ap50": round(ap.ap50, 4),
+                      "ap75": round(ap.ap75, 4),
+                      "map_5095": round(ap.map_5095, 4)}))
     if args.eval_only:
         return
     if prec < args.min_prec or rec < args.min_rec:

@@ -87,3 +87,102 @@ def test_alternating_ids_each_flip_counted():
            for t in range(5)]
     res = evaluate_mot(gt, hyp)
     assert res.id_switches == 4
+
+
+# ---------------------------------------------------------------------------
+# Detection AP (COCO protocol)
+
+from aicamera_tpu.eval import evaluate_detections  # noqa: E402
+
+
+def test_ap_perfect_detector():
+    gt = [(np.array([_b(0, 0), _b(50, 50)]), np.array([0, 2]))] * 3
+    pred = [(np.array([_b(0, 0), _b(50, 50)]), np.array([0.9, 0.8]),
+             np.array([0, 2]))] * 3
+    res = evaluate_detections(gt, pred)
+    assert res.ap50 == 1.0
+    assert res.ap75 == 1.0
+    assert res.map_5095 == 1.0
+    assert res.num_gt == 6 and res.num_pred == 6
+
+
+def test_ap_no_predictions_is_zero():
+    gt = [(np.array([_b(0, 0)]), np.array([0]))] * 2
+    pred = [(np.zeros((0, 4)), np.zeros((0,)), np.zeros((0,), int))] * 2
+    res = evaluate_detections(gt, pred)
+    assert res.ap50 == 0.0 and res.map_5095 == 0.0
+
+
+def test_ap_wrong_class_scores_zero_and_fp():
+    gt = [(np.array([_b(0, 0)]), np.array([0]))]
+    pred = [(np.array([_b(0, 0)]), np.array([0.9]), np.array([1]))]
+    res = evaluate_detections(gt, pred)
+    # class 1 has no gt -> excluded (COCO); class 0 has gt, no preds -> 0
+    assert res.ap50 == 0.0
+    assert res.per_class_ap50 == {0: 0.0}
+
+
+def test_ap_half_recall():
+    """One of two gt boxes found, no FPs: precision 1 up to recall .5.
+
+    101-point AP = mean over levels {0,.01,..,1}: p=1 for the 51 levels
+    <= 0.5, p=0 above -> 51/101.
+    """
+    gt = [(np.array([_b(0, 0), _b(200, 200)]), np.array([0, 0]))]
+    pred = [(np.array([_b(0, 0)]), np.array([0.9]), np.array([0]))]
+    res = evaluate_detections(gt, pred)
+    assert abs(res.ap50 - 51 / 101) < 1e-9
+
+
+def test_ap_localization_quality_separates_thresholds():
+    """A prediction with IoU ~0.6 counts at AP50 but not AP75."""
+    gt = [(np.array([[0, 0, 100, 100]]), np.array([0]))]
+    # shifted box: inter 70x100, union 130x100 -> IoU ~0.538... use 80
+    pred = [(np.array([[20, 0, 120, 100]]), np.array([0.9]),
+             np.array([0]))]
+    # IoU = 80*100 / (120*100 + ... ) inter [20,100]x[0,100]=8000,
+    # union 10000+10000-8000=12000 -> 0.667
+    res = evaluate_detections(gt, pred)
+    assert res.ap50 == 1.0
+    assert res.ap75 == 0.0
+    assert 0.0 < res.map_5095 < 1.0
+
+
+def test_ap_duplicate_detections_penalized():
+    """Second detection of an already-claimed gt is a false positive."""
+    gt = [(np.array([_b(0, 0)]), np.array([0]))]
+    pred = [(np.array([_b(0, 0), _b(0, 0)]), np.array([0.9, 0.8]),
+             np.array([0, 0]))]
+    res = evaluate_detections(gt, pred)
+    # recall hits 1.0 at the first pred (p=1); the dup only lowers
+    # precision beyond full recall -> AP stays 1.0 under interpolation
+    assert res.ap50 == 1.0
+
+
+def test_ap_score_ranking_matters():
+    """FP ranked above the TP drags interpolated precision to 1/2."""
+    gt = [(np.array([_b(0, 0)]), np.array([0]))]
+    pred = [(np.array([_b(500, 500), _b(0, 0)]), np.array([0.95, 0.6]),
+             np.array([0, 0]))]
+    res = evaluate_detections(gt, pred)
+    assert abs(res.ap50 - 0.5) < 1e-9
+
+
+def test_ap_greedy_matches_highest_iou_gt():
+    """A pred overlapping two gts claims the higher-IoU one."""
+    gt = [(np.array([[0, 0, 100, 100], [60, 0, 160, 100]]),
+           np.array([0, 0]))]
+    # exact copy of the second gt, plus one for the first
+    pred = [(np.array([[60, 0, 160, 100], [0, 0, 100, 100]]),
+             np.array([0.9, 0.8]), np.array([0, 0]))]
+    res = evaluate_detections(gt, pred)
+    assert res.ap50 == 1.0
+
+
+def test_ap_per_class_breakdown():
+    gt = [(np.array([_b(0, 0), _b(200, 200)]), np.array([0, 3]))]
+    pred = [(np.array([_b(0, 0)]), np.array([0.9]), np.array([0]))]
+    res = evaluate_detections(gt, pred)
+    assert res.per_class_ap50[0] == 1.0
+    assert res.per_class_ap50[3] == 0.0
+    assert abs(res.ap50 - 0.5) < 1e-9
