@@ -12,6 +12,7 @@
  10. 8x540p multi-stream under realistic trained load
  11. Raw YOLOv8n forward (reference 'raw engine speed' row, ~400+ FPS)
  12. Raw ReID embed (reference raw engine row, ~600+ crops/s)
+ 13. YOLOv8x at 4K source / 1280x1280 input — extreme single-chip scale
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all
@@ -467,33 +468,38 @@ def config11_raw_detector(iters=48):
     reference README.md:156): model execution only, no preprocess, decode
     or NMS. Reported at the reference's batch 1 and at the batch-96 chunk
     the fused pipeline actually dispatches (TPU-native batching is where
-    the MXU throughput lives; batch 1 pays the per-dispatch tunnel RPC)."""
+    the MXU throughput lives).
+
+    Methodology (docs/ROOFLINE.md): each dispatch gets a DISTINCT
+    on-device-generated input (the tunneled runtime short-circuits repeat
+    dispatches of one (executable, buffer) pair — an earlier version of
+    this config reused one buffer and recorded physically impossible
+    throughput) and a fold-to-scalar result dependency, fetched once
+    (scripts/axon_timing.py). Input generation + output fold add ~3%
+    constant overhead to the reported number."""
     import jax
     import jax.numpy as jnp
+    from scripts.axon_timing import measure
     from aicamera_tpu.runtime.params import resolve_yolo_params
     model, params = resolve_yolo_params("n")
-    fwd = jax.jit(model.apply)
     fps = {}
     for batch in (1, 96):
-        x = jnp.zeros((batch, 640, 640, 3), jnp.bfloat16)
-        jax.block_until_ready(fwd(params, x))
+        @jax.jit
+        def gen_fwd(p, seed, _b=batch):
+            x = jax.random.uniform(jax.random.PRNGKey(seed),
+                                   (_b, 640, 640, 3), jnp.bfloat16)
+            return model.apply(p, x)
+
         runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            # bounded in-flight window: unboundedly retained head outputs
-            # (~230 MB per batch-96 dispatch) exhaust HBM
-            inflight = []
-            for _ in range(iters):
-                inflight.append(fwd(params, x))
-                if len(inflight) >= 4:
-                    jax.block_until_ready(inflight.pop(0))
-            jax.block_until_ready(inflight)
-            runs.append(batch * iters / (time.perf_counter() - t0))
+        for r in range(3):
+            inputs = [(params, jnp.int32(1000 * r + i))
+                      for i in range(iters)]
+            runs.append(batch / measure(gen_fwd, inputs, warmup=2))
         fps[batch] = sorted(runs)[1]
     _emit("11_raw_yolov8n_fwd_640", fps[96], batch=96,
           batch1_fps=round(fps[1], 1), method="median_of_3",
-          note="model exec only; reference raw engine ~400+ FPS. batch-1 "
-               "pays the ~27ms tunnel RPC per dispatch (PCIe hosts don't)")
+          note="model exec only, distinct inputs per dispatch; reference "
+               "raw engine ~400+ FPS")
 
 
 def config12_raw_reid(iters=48):
@@ -501,26 +507,71 @@ def config12_raw_reid(iters=48):
     deepsort_reid engine row (~600+ crops/s at batch<=8 fp16, reference
     README.md:157): forward only, preprocessed 128x64 crops in. Reported
     at the reference engine's max batch (8, export_trt_engines.sh:32-34)
-    and at the pipeline's largest crop bucket (64)."""
+    and at the pipeline's largest crop bucket (64). Same
+    distinct-inputs + fold-to-scalar methodology as config 11."""
     import jax
     import jax.numpy as jnp
+    from scripts.axon_timing import measure
     from aicamera_tpu.runtime.params import resolve_reid_params
     model, params = resolve_reid_params()
-    fwd = jax.jit(model.apply)
     cps = {}
     for batch in (8, 64):
-        x = jnp.zeros((batch, 128, 64, 3), jnp.float32)
-        jax.block_until_ready(fwd(params, x))
+        @jax.jit
+        def gen_fwd(p, seed, _b=batch):
+            x = jax.random.uniform(jax.random.PRNGKey(seed),
+                                   (_b, 128, 64, 3), jnp.float32)
+            return model.apply(p, x)
+
         runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            outs = [fwd(params, x) for _ in range(iters)]
-            jax.block_until_ready(outs)
-            runs.append(batch * iters / (time.perf_counter() - t0))
+        for r in range(3):
+            inputs = [(params, jnp.int32(1000 * r + i))
+                      for i in range(iters)]
+            runs.append(batch / measure(gen_fwd, inputs, warmup=2))
         cps[batch] = sorted(runs)[1]
     _emit("12_raw_reid_embed", cps[64], unit="crops_per_s", batch=64,
           batch8_cps=round(cps[8], 1), method="median_of_3",
-          note="model exec only; reference raw engine ~600+ crops/s")
+          note="model exec only, distinct inputs per dispatch; reference "
+               "raw engine ~600+ crops/s")
+
+
+def config13_yolov8x_4k(frames_n=48):
+    """YOLOv8x (largest variant) at 4K source, 1280x1280 input: the
+    extreme single-chip scale point. The reference tops out at yolov8n
+    fixed to 1x3x640x640 (export_trt_engines.sh:26-28); this runs ~19x
+    its FLOPs per frame (68M-param x at 4x the pixels) with full
+    tracking and crowd-scale capacity, still on one chip."""
+    import jax
+    import jax.numpy as jnp
+    from aicamera_tpu.core.state import TrackerParams
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    from aicamera_tpu import config as cfg
+
+    arr = _load_clip(frames_n, hw=(2160, 3840))
+    k = 4  # 4K uint8 frames + x@1280 activations bound the chunk
+    tp = TrackerParams(max_tracks=256, max_detections=100,
+                       feature_dim=cfg.REID_FEATURE_DIM)
+    pipe = TrackingPipeline(variant="x", chunk_size=k,
+                            input_shape=(1280, 1280), tracker_params=tp)
+    pipe.warm_up(arr.shape[1:3])
+    step = pipe._get_step(arr.shape[1:3], k)
+    fv = jnp.ones((k,), bool)
+    chunks = _staged_chunks(arr, k)
+    n = len(chunks) * k
+    runs = []
+    for _ in range(3):
+        pipe.reset()
+        state = pipe.state
+        outs = []
+        t0 = time.perf_counter()
+        for c in chunks:
+            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
+                                        state, c, fv)
+            outs.append(track_outs)
+        jax.device_get(outs)
+        runs.append(n / (time.perf_counter() - t0))
+    _emit("13_yolov8x_4k", sorted(runs)[1], frames=n,
+          method="median_of_3", input_shape="1280x1280",
+          note="largest variant at 4K source; reference: n/a")
 
 
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
@@ -528,7 +579,8 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
            7: config7_worst_case_load, 8: config8_latency,
            9: config9_synthetic_trained, 10: config10_multistream_trained,
-           11: config11_raw_detector, 12: config12_raw_reid}
+           11: config11_raw_detector, 12: config12_raw_reid,
+           13: config13_yolov8x_4k}
 
 
 def main():
