@@ -22,7 +22,7 @@ Public API mirrors the reference surface (``YOLODetector``, ``DeepSORT``,
 CLI flags) so users of the reference can switch directly.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # keep in sync with pyproject.toml
 
 from . import config  # noqa: F401
 
