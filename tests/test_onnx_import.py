@@ -429,3 +429,47 @@ def test_sorted_tree_walk_differs_from_execution_order(yolov8n_like):
     assert exec_order == conv_paths
     assert exec_order[0][-2:] == ("stem", "conv")
     assert walk != exec_order
+
+
+# ---------------------------------------------------------------------------
+# Robustness: malformed files must fail loudly, never import silently
+
+
+def test_parse_garbage_bytes_raises(tmp_path):
+    p = tmp_path / "garbage.onnx"
+    p.write_bytes(np.random.RandomState(0).bytes(4096))
+    with pytest.raises(ValueError):
+        parse_onnx(str(p))
+
+
+def test_parse_empty_file_raises(tmp_path):
+    p = tmp_path / "empty.onnx"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError, match="no graph"):
+        parse_onnx(str(p))
+
+
+def test_truncated_file_never_imports_silently(onnx_setup, tmp_path):
+    """Prefix-truncations either fail to parse or fail the strict count
+    check — a torn download can never produce a silently-wrong import."""
+    path, _ = onnx_setup
+    with open(path, "rb") as f:
+        data = f.read()
+
+    class Chain(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i, (o, _i, k, s) in enumerate([(8, 3, 3, 2), (4, 8, 1, 1)]):
+                x = nn.Conv(o, (k, k), strides=(s, s), padding="SAME",
+                            use_bias=True, name=f"conv{i}")(x)
+            return x
+
+    model = Chain()
+    template = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 16, 16, 3)))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    for frac in (0.2, 0.5, 0.8):
+        p = tmp_path / f"trunc_{frac}.onnx"
+        p.write_bytes(data[:int(len(data) * frac)])
+        with pytest.raises(ValueError):
+            import_conv_net_params(str(p), template, strict=True)
