@@ -242,8 +242,11 @@ def evaluate_detections(
                  for t in thr_keys}
 
     def _mean(vals):
+        """Mean over computed APs; NaN when nothing was computed (no gt
+        anywhere, or the threshold was not evaluated) — consistent with
+        per_class_ap50, and distinguishable from a genuine 0.0 score."""
         vals = [v for v in vals if not np.isnan(v)]
-        return float(np.mean(vals)) if vals else 0.0
+        return float(np.mean(vals)) if vals else float("nan")
 
     map_5095 = _mean([ap[c][t] for c in classes for t in thr_keys])
     ap50 = _mean([ap[c][0.5] for c in classes if 0.5 in ap[c]])

@@ -399,10 +399,14 @@ def config9_synthetic_trained(frames_n=288):
         preds.append((res.det_boxes, res.det_scores, res.det_labels))
     mot = evaluate_mot(gt[5:96], hyp[5:96])
     ap = evaluate_detections(gt_det[:96], preds)
+    # AP here scores the pipeline's emitted detections, which carry its
+    # confidence threshold — a lower bound on full-PR-curve COCO AP
+    # (scripts/train_synthetic.py reports that one, floor 0.25)
     _emit("9_synthetic_trained_tracking", sorted(runs)[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
           motp=round(mot.motp, 3), id_switches=mot.id_switches,
-          ap50=round(ap.ap50, 3), map_5095=round(ap.map_5095, 3))
+          ap50=round(ap.ap50, 3), map_5095=round(ap.map_5095, 3),
+          ap_at_conf=pipe.conf_threshold)
 
 
 def config10_multistream_trained(steps=192, chunk=12):

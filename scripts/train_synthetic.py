@@ -63,7 +63,10 @@ def evaluate(model, params, world, input_hw, n_scenes=48, conf=0.3,
         out = detect_batch(params, keys[i:i + b])
         num, boxes, scores, labels, gtb, gtc, gtv = map(np.asarray, out)
         for j in range(len(num)):
-            keep = [d for d in range(num[j]) if scores[j, d] >= conf]
+            # AP scores the full PR curve: ALL decoded detections (down to
+            # the NMS score floor of 0.25), not just those above the
+            # precision/recall report threshold `conf`
+            keep = list(range(int(num[j])))
             pred_frames.append((boxes[j, keep], scores[j, keep],
                                 labels[j, keep]))
             gt_frames.append((gtb[j][gtv[j]], gtc[j][gtv[j]]))
@@ -222,7 +225,8 @@ def main():
                       "tp": tp, "fp": fp, "fn": fn,
                       "ap50": round(ap.ap50, 4),
                       "ap75": round(ap.ap75, 4),
-                      "map_5095": round(ap.map_5095, 4)}))
+                      "map_5095": round(ap.map_5095, 4),
+                      "ap_score_floor": 0.25}))
     if args.eval_only:
         return
     if prec < args.min_prec or rec < args.min_rec:

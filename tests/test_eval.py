@@ -186,3 +186,17 @@ def test_ap_per_class_breakdown():
     assert res.per_class_ap50[0] == 1.0
     assert res.per_class_ap50[3] == 0.0
     assert abs(res.ap50 - 0.5) < 1e-9
+
+
+def test_ap_uncomputed_means_are_nan_not_zero():
+    """Custom thresholds without .5/.75 and empty gt must yield NaN (not
+    a fake 0.0 indistinguishable from a broken detector)."""
+    gt = [(np.array([_b(0, 0)]), np.array([0]))]
+    pred = [(np.array([_b(0, 0)]), np.array([0.9]), np.array([0]))]
+    res = evaluate_detections(gt, pred, iou_thresholds=[0.6])
+    assert np.isnan(res.ap50) and np.isnan(res.ap75)
+    assert res.map_5095 == 1.0  # computed at 0.6 only
+
+    empty_gt = [(np.zeros((0, 4)), np.zeros((0,), int))]
+    res = evaluate_detections(empty_gt, pred)
+    assert np.isnan(res.map_5095) and np.isnan(res.ap50)

@@ -44,7 +44,11 @@ def _patch_exporter():
         lambda model_bytes, custom_opsets: model_bytes
 
 
-_patch_exporter()
+try:
+    _patch_exporter()
+except ImportError:  # private path moves across torch versions
+    pytest.skip("legacy TorchScript ONNX exporter not at the known "
+                "private path in this torch version", allow_module_level=True)
 
 
 # --- torch mirror of the Flax YOLOv8 (NCHW, BN unfused) -------------------
