@@ -169,3 +169,36 @@ def test_empty_frames_lifecycle_matches_reference_core():
     box = np.array([100, 100, 40, 80], np.float32)
     frames = [[(box, feat)]] * 4 + [[]] * 8
     assert_frames_match(frames, p)
+
+
+def test_deep_cascade_level_revival_matches_reference_core():
+    """Occlusions deep in the cascade (levels 25 and beyond max_age):
+    a track missed 25 frames must re-match by appearance at cascade
+    level tsu==25 with the SAME id; one missed past max_age=30 must be
+    deleted and come back as a NEW id. Exercises level compaction far
+    above the ~8-level range of the other scenes (reference
+    linear_assignment.py:91-157 runs one round per level)."""
+    p = TrackerParams(max_tracks=32, max_detections=16, nn_budget=10,
+                      feature_dim=32, n_init=3, max_age=30)
+
+    def unit_feature(seed):
+        rng = np.random.RandomState(seed)
+        f = rng.rand(p.feature_dim).astype(np.float32)
+        return f / np.linalg.norm(f)
+
+    f_a, f_b, f_c = (unit_feature(s) for s in (11, 12, 13))
+    frames = []
+    for t in range(75):
+        dets = []
+        # anchor object, always present (keeps the update loop non-trivial)
+        dets.append((np.array([60 + 2 * t, 300, 40, 80], np.float32), f_a))
+        # B: confirmed by t=5, occluded t in [6, 31) -> 25 misses,
+        # reappears stationary (KF velocity ~0, gate inflated) at t=31
+        if t < 6 or t >= 31:
+            dets.append((np.array([250, 100, 44, 84], np.float32), f_b))
+        # C: confirmed by t=5, occluded t in [6, 38) -> 32 misses
+        # > max_age=30 -> deleted at t=37; reappears t=38 as a new id
+        if t < 6 or t >= 38:
+            dets.append((np.array([420, 200, 38, 76], np.float32), f_c))
+        frames.append(dets)
+    assert_frames_match(frames, p)
