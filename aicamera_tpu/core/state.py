@@ -135,3 +135,37 @@ def make_detections(tlwh, conf, class_id, feature=None, has_feature=None,
         has_feature=jnp.pad(has_feature, (0, pad)),
         valid=jnp.pad(valid, (0, pad)),
     )
+
+
+# Per-track array fields (leading dim T = max_tracks). `next_id` and
+# `dropped` are scalars and travel with whichever state is "live".
+TRACK_AXIS_FIELDS = ("active", "state", "mean", "cov", "hits", "age", "tsu",
+                     "track_id", "class_id", "conf", "gallery",
+                     "gallery_count", "gallery_next")
+
+
+def slice_tracks(state: TrackerState, t_small: int) -> TrackerState:
+    """View of the first ``t_small`` track slots as a smaller TrackerState.
+
+    Semantics-preserving whenever no active track lives at slot >=
+    t_small: the core derives everything per-slot, new tracks always take
+    the LOWEST free slots (tracker.py slot_of_rank), and padded inactive
+    rows are masked out of every cost/assignment stage — so the sliced
+    state evolves exactly like the full one until it runs out of slots
+    (visible as a ``dropped`` increment; see the pipeline's bucketed-scan
+    fallback).
+    """
+    return state.replace(
+        **{f: getattr(state, f)[:t_small] for f in TRACK_AXIS_FIELDS})
+
+
+def splice_tracks(master: TrackerState, small: TrackerState) -> TrackerState:
+    """Write a sliced state's slots back into the full-capacity master.
+
+    Slots beyond the slice are untouched (they were inactive and ignored
+    by the small run); the scalar counters come from the small state."""
+    t_small = small.active.shape[0]
+    out = master.replace(
+        **{f: getattr(master, f).at[:t_small].set(getattr(small, f))
+           for f in TRACK_AXIS_FIELDS})
+    return out.replace(next_id=small.next_id, dropped=small.dropped)

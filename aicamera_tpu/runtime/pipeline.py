@@ -81,15 +81,31 @@ class TrackingPipeline:
                  chunk_size: int = 8,
                  preprocess_impl: str = "auto",
                  with_reid: bool = True,
-                 synthetic_load: int = 0):
+                 synthetic_load: int = 0,
+                 scan_bucket: int | None = 32):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
         ReID crop bucket, the association cascade and the track table —
         the worst-case benchmark mode (real detections, when present,
-        still occupy their slots first)."""
+        still occupy their slots first).
+
+        ``scan_bucket``: capacity-bucketed tracker scan. When every active
+        track lives in the first ``scan_bucket`` slots (the allocator
+        always fills the lowest free slot, so this holds at normal load),
+        the chunk's scan runs on a sliced ``scan_bucket``-slot state —
+        the per-frame cost matrices, KF bank and assignment shrink with
+        the padding (measured 26 -> 16 ms/chunk at T 128 -> 32 under
+        realistic load, scripts/profile_scan_capacity.py). Exactness is
+        guarded twice: the bucketed path is skipped when any high slot is
+        active, and if the small table overflows mid-chunk (a new track
+        found no free slot, visible as a ``dropped`` increment) the chunk
+        is recomputed at full capacity inside the same program. None/0
+        disables. Single-stream only — under vmap (multistream) both
+        cond branches would execute."""
         enable_persistent_cache()
         self.synthetic_load = int(synthetic_load)
+        self.scan_bucket = int(scan_bucket or 0)
         self.input_shape = tuple(input_shape)
         self.conf_threshold = float(conf_threshold)
         self.nms_threshold = float(nms_threshold)
@@ -244,25 +260,72 @@ class TrackingPipeline:
             tlwh = jnp.concatenate(
                 [d_xyxy[..., :2], d_xyxy[..., 2:] - d_xyxy[..., :2]], axis=-1)
 
-            def scan_body(st, per_frame):
-                (f_tlwh, f_conf, f_cls, f_feats, f_hasfeat, f_valid,
-                 f_frame_valid) = per_frame
-                dets = Detections(tlwh=f_tlwh, conf=f_conf, class_id=f_cls,
-                                  feature=f_feats, has_feature=f_hasfeat,
-                                  valid=f_valid)
+            def make_scan_body(pp):
+                def scan_body(st, per_frame):
+                    (f_tlwh, f_conf, f_cls, f_feats, f_hasfeat, f_valid,
+                     f_frame_valid) = per_frame
+                    dets = Detections(tlwh=f_tlwh, conf=f_conf,
+                                      class_id=f_cls, feature=f_feats,
+                                      has_feature=f_hasfeat, valid=f_valid)
 
-                def do(st):
-                    st = core_tracker.predict(st, p)
-                    return core_tracker.update(st, dets, p)
+                    def do(st):
+                        st = core_tracker.predict(st, pp)
+                        return core_tracker.update(st, dets, pp)
 
-                # padding frames at a clip's tail leave the state untouched
-                st = jax.lax.cond(f_frame_valid, do, lambda s: s, st)
-                return st, core_tracker.get_outputs(st)
+                    # padding frames at a clip's tail leave state untouched
+                    st = jax.lax.cond(f_frame_valid, do, lambda s: s, st)
+                    return st, core_tracker.get_outputs(st)
+                return scan_body
 
-            state, track_outs = jax.lax.scan(
-                scan_body, state,
-                (tlwh, d_conf, d_cls, d_feats, d_hasfeat, d_valid,
-                 frame_valid))
+            xs = (tlwh, d_conf, d_cls, d_feats, d_hasfeat, d_valid,
+                  frame_valid)
+            t_small = self.scan_bucket
+            if t_small and t_small < p.max_tracks:
+                import dataclasses as _dc
+                p_small = _dc.replace(p, max_tracks=t_small)
+                pad_t = p.max_tracks - t_small
+
+                def pad_outs(outs):
+                    return tuple(
+                        jnp.pad(a, ((0, 0), (0, pad_t)) +
+                                ((0, 0),) * (a.ndim - 2)) for a in outs)
+
+                def zero_outs():
+                    tlbr_z = jnp.zeros((k, p.max_tracks, 4), jnp.float32)
+                    i_z = jnp.zeros((k, p.max_tracks), jnp.int32)
+                    return (tlbr_z, i_z, i_z, tlbr_z[..., 0],
+                            jnp.zeros((k, p.max_tracks), jnp.bool_))
+
+                def small_pass(_):
+                    small = core_state.slice_tracks(state, t_small)
+                    s_small, outs = jax.lax.scan(
+                        make_scan_body(p_small), small, xs)
+                    return (core_state.splice_tracks(state, s_small),
+                            pad_outs(outs), s_small.dropped)
+
+                def skip_small(_):
+                    # a high slot is active: force the full pass below
+                    return state, zero_outs(), state.dropped + 1
+
+                fits = ~jnp.any(state.active[t_small:])
+                cand_state, cand_outs, cand_dropped = jax.lax.cond(
+                    fits, small_pass, skip_small, None)
+                # any dropped increment means the small table ran out of
+                # slots mid-chunk (the full table would have placed those
+                # tracks) — recompute the chunk at full capacity
+                use_full = cand_dropped > state.dropped
+
+                def full_pass(_):
+                    return jax.lax.scan(make_scan_body(p), state, xs)
+
+                def accept(_):
+                    return cand_state, cand_outs
+
+                state, track_outs = jax.lax.cond(
+                    use_full, full_pass, accept, None)
+            else:
+                state, track_outs = jax.lax.scan(
+                    make_scan_body(p), state, xs)
             # track_outs: (tlbr, ids, cls, conf, mask), each (K, T, ...)
             det_outs = (num, boxes_f, scores, labels, det_valid)
             return state, det_outs, track_outs

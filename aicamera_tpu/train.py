@@ -199,7 +199,10 @@ def make_train_step(model, world: WorldSpec, spec: LetterboxSpec,
 @dataclasses.dataclass(frozen=True)
 class ReIDTrainConfig:
     scenes: int = 4                 # scenes per step (each x2 views)
-    steps: int = 1500
+    # 2500 (~9 min on one v5e): 1500 lands the inter-identity p5 cosine
+    # distance at ~0.30, uncomfortably close to the save gate; 2500
+    # measures ~0.40 with intra_p95 ~0.0005
+    steps: int = 2500
     scan: int = 25
     lr: float = 1e-3
     warmup: int = 100

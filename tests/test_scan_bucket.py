@@ -1,0 +1,131 @@
+"""Capacity-bucketed tracker scan: bitwise equality with the full scan.
+
+The pipeline runs the chunk's tracker scan on a sliced small-capacity
+state whenever all activity fits (runtime/pipeline.py scan_bucket),
+falling back to full capacity when a high slot is active or the small
+table overflows mid-chunk. These tests pin the exactness claim:
+
+- core level: update() on a sliced state == the first slots of update()
+  on the full state, for randomized multi-frame scenes;
+- pipeline level: a bucketed pipeline == an unbucketed one on identical
+  frames, through all three paths (small, high-slot skip, mid-chunk
+  overflow rerun).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aicamera_tpu.core import (TrackerParams, init_state, make_detections,
+                               predict, update)
+from aicamera_tpu.core.state import slice_tracks, splice_tracks
+from aicamera_tpu.core.tracker import get_outputs
+
+from test_tracker_differential import random_frames  # noqa: E402
+
+P_FULL = TrackerParams(max_tracks=32, max_detections=12, nn_budget=4,
+                       feature_dim=8, n_init=3, max_age=6)
+T_SMALL = 12
+
+
+def _tree_equal(a, b):
+    fa, fb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(fa) == len(fb)
+    for la, lb in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def _step(s, dets_list, p):
+    n = len(dets_list)
+    tlwh = np.zeros((max(n, 1), 4), np.float32)
+    feats = np.zeros((max(n, 1), p.feature_dim), np.float32)
+    hasf = np.zeros((max(n, 1),), bool)
+    for j, (tl, f) in enumerate(dets_list):
+        tlwh[j] = tl
+        if f is not None:
+            feats[j] = f
+            hasf[j] = True
+    valid = np.zeros((max(n, 1),), bool)
+    valid[:n] = True
+    d = make_detections(tlwh, np.full(max(n, 1), 0.9, np.float32),
+                        np.zeros(max(n, 1), np.int32), feats,
+                        has_feature=hasf, valid=valid, params=p)
+    s = predict(s, p)
+    return update(s, d, p)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sliced_core_equals_full_core(seed):
+    """Frame-by-frame: the first T_SMALL slots of the full run equal the
+    sliced run exactly (scenes stay far below T_SMALL active tracks)."""
+    p_small = dataclasses.replace(P_FULL, max_tracks=T_SMALL)
+    frames = random_frames(seed)
+    s_full = init_state(P_FULL)
+    s_small = init_state(p_small)
+    for fi, dets in enumerate(frames):
+        s_full = _step(s_full, dets, P_FULL)
+        s_small = _step(s_small, dets, p_small)
+        assert not np.any(np.asarray(s_full.active)[T_SMALL:]), \
+            f"scene {seed} overflowed the probe capacity at frame {fi}"
+        _tree_equal(slice_tracks(s_full, T_SMALL), s_small)
+
+
+def test_splice_roundtrip():
+    p_small = dataclasses.replace(P_FULL, max_tracks=T_SMALL)
+    frames = random_frames(3)
+    s_full = init_state(P_FULL)
+    for dets in frames[:10]:
+        s_full = _step(s_full, dets, P_FULL)
+    _tree_equal(splice_tracks(init_state(P_FULL),
+                              slice_tracks(s_full, T_SMALL)),
+                s_full)
+
+
+# --- pipeline level --------------------------------------------------------
+
+def _run_pipeline(scan_bucket, synthetic_load, n_chunks=3, chunk=4):
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    tp = TrackerParams(max_tracks=64, max_detections=16, nn_budget=4,
+                       max_age=10, n_init=2, feature_dim=512)
+    pipe = TrackingPipeline(chunk_size=chunk, input_shape=(128, 128),
+                            tracker_params=tp, max_reid_crops=4,
+                            synthetic_load=synthetic_load,
+                            scan_bucket=scan_bucket)
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (n_chunks * chunk, 96, 128, 3), np.uint8)
+    step = pipe._get_step((96, 128), chunk)
+    fv = jnp.ones((chunk,), bool)
+    state = pipe.state
+    outs = []
+    for i in range(0, len(frames), chunk):
+        state, det_outs, track_outs = step(
+            pipe.yolo_params, pipe.reid_params, state,
+            jnp.asarray(frames[i:i + chunk]), fv)
+        outs.append(jax.device_get(track_outs))
+    return jax.device_get(state), outs
+
+
+def _assert_runs_equal(a, b):
+    state_a, outs_a = a
+    state_b, outs_b = b
+    for ca, cb in zip(outs_a, outs_b):
+        _tree_equal(ca, cb)
+    _tree_equal(state_a, state_b)
+
+
+def test_bucketed_pipeline_small_path_equals_full():
+    """6 synthetic tracks, bucket 16: the small path runs every chunk."""
+    _assert_runs_equal(_run_pipeline(scan_bucket=16, synthetic_load=6),
+                       _run_pipeline(scan_bucket=0, synthetic_load=6))
+
+
+def test_bucketed_pipeline_overflow_and_highslot_paths_equal_full():
+    """8 synthetic tracks, bucket 4: chunk 1 overflows the small table
+    mid-chunk (initiation dump -> full-capacity rerun), later chunks see
+    active high slots (fits=False -> full path directly)."""
+    _assert_runs_equal(_run_pipeline(scan_bucket=4, synthetic_load=8),
+                       _run_pipeline(scan_bucket=0, synthetic_load=8))
