@@ -82,10 +82,16 @@ class MultiStreamPipeline:
                  max_reid_crops: int = config.MAX_REID_CROPS,
                  preprocess_impl: str = "auto",
                  yolo_weights: str | None = None,
-                 reid_weights: str | None = None):
+                 reid_weights: str | None = None,
+                 scan_bucket: int | None = 32):
         self.n_streams = int(n_streams)
         self.frame_hw = tuple(frame_hw)
         self.mesh = mesh
+        # capacity-bucketed time scan (see runtime/pipeline.py): only on a
+        # single device — with a mesh, the fits predicate would reduce over
+        # sharded states (a hot-path collective), and zero hot-path
+        # collectives is a design invariant here
+        self.scan_bucket = int(scan_bucket or 0) if mesh is None else 0
         self.input_shape = tuple(input_shape)
         self.conf_threshold = float(conf_threshold)
         self.nms_threshold = float(nms_threshold)
@@ -144,30 +150,35 @@ class MultiStreamPipeline:
         n_crops = self.max_reid_crops
         s = self.n_streams
 
-        def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
-                             feats, crop_valid, frame_valid=None):
-            d_feats = jnp.zeros((n_det, p.feature_dim), jnp.float32)
-            d_feats = d_feats.at[:n_crops].set(feats.astype(jnp.float32))
-            d_hasfeat = jnp.zeros((n_det,), jnp.bool_).at[:n_crops].set(
-                crop_valid & d_valid[:n_crops])
-            tlwh = jnp.concatenate(
-                [d_xyxy[:, :2], d_xyxy[:, 2:] - d_xyxy[:, :2]], axis=-1)
-            dets = Detections(tlwh=tlwh, conf=d_conf, class_id=d_cls,
-                              feature=d_feats, has_feature=d_hasfeat,
-                              valid=d_valid)
+        def make_per_stream_track(pp):
+            def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
+                                 feats, crop_valid, frame_valid=None):
+                d_feats = jnp.zeros((n_det, pp.feature_dim), jnp.float32)
+                d_feats = d_feats.at[:n_crops].set(feats.astype(jnp.float32))
+                d_hasfeat = jnp.zeros((n_det,), jnp.bool_).at[:n_crops].set(
+                    crop_valid & d_valid[:n_crops])
+                tlwh = jnp.concatenate(
+                    [d_xyxy[:, :2], d_xyxy[:, 2:] - d_xyxy[:, :2]], axis=-1)
+                dets = Detections(tlwh=tlwh, conf=d_conf, class_id=d_cls,
+                                  feature=d_feats, has_feature=d_hasfeat,
+                                  valid=d_valid)
 
-            def do(st):
-                st = core_tracker.predict(st, p)
-                return core_tracker.update(st, dets, p)
+                def do(st):
+                    st = core_tracker.predict(st, pp)
+                    return core_tracker.update(st, dets, pp)
 
-            if frame_valid is None:
-                state = do(state)
-            else:
-                # invalid (stream, t) slots leave that stream's state
-                # untouched (multi-tenant serving: idle streams in a
-                # dispatch must not age their tracks)
-                state = jax.lax.cond(frame_valid, do, lambda st: st, state)
-            return state, core_tracker.get_outputs(state)
+                if frame_valid is None:
+                    state = do(state)
+                else:
+                    # invalid (stream, t) slots leave that stream's state
+                    # untouched (multi-tenant serving: idle streams in a
+                    # dispatch must not age their tracks)
+                    state = jax.lax.cond(frame_valid, do, lambda st: st,
+                                         state)
+                return state, core_tracker.get_outputs(state)
+            return per_stream_track
+
+        per_stream_track = make_per_stream_track(p)
 
         def compact_dets(num, boxes, scores, labels):
             present = jnp.arange(boxes.shape[0]) < num
@@ -257,11 +268,71 @@ class MultiStreamPipeline:
             if frame_valid is not None:
                 dets = dets + (frame_valid.swapaxes(0, 1),)
 
-            def body(st, per_t):
-                st, outs = jax.vmap(per_stream_track)(st, *per_t)
-                return st, outs
+            def make_body(pp):
+                track = make_per_stream_track(pp)
 
-            states, outs = jax.lax.scan(body, states, dets)
+                def body(st, per_t):
+                    return jax.vmap(track)(st, *per_t)
+                return body
+
+            t_small = self.scan_bucket
+            if t_small and t_small < p.max_tracks:
+                # capacity-bucketed time scan (see runtime/pipeline.py):
+                # the fits/overflow conds are SCALAR (reduced over all
+                # streams), evaluated outside the vmap — so exactly one
+                # scan variant executes per chunk, unlike a per-stream
+                # cond which vmap would run both branches of
+                import dataclasses as _dc
+                from ..core.state import TRACK_AXIS_FIELDS
+                p_small = _dc.replace(p, max_tracks=t_small)
+                k_ = dets[0].shape[0]
+
+                def pad_outs(outs):
+                    pad_t = p.max_tracks - t_small
+                    return tuple(
+                        jnp.pad(a, ((0, 0), (0, 0), (0, pad_t)) +
+                                ((0, 0),) * (a.ndim - 3)) for a in outs)
+
+                def zero_outs():
+                    tlbr_z = jnp.zeros((k_, s, p.max_tracks, 4),
+                                       jnp.float32)
+                    i_z = jnp.zeros((k_, s, p.max_tracks), jnp.int32)
+                    return (tlbr_z, i_z, i_z, tlbr_z[..., 0],
+                            jnp.zeros((k_, s, p.max_tracks), jnp.bool_))
+
+                def small_pass(_):
+                    small = states.replace(
+                        **{f: getattr(states, f)[:, :t_small]
+                           for f in TRACK_AXIS_FIELDS})
+                    s_small, outs = jax.lax.scan(
+                        make_body(p_small), small, dets)
+                    spliced = states.replace(
+                        **{f: getattr(states, f).at[:, :t_small].set(
+                            getattr(s_small, f))
+                           for f in TRACK_AXIS_FIELDS},
+                        next_id=s_small.next_id, dropped=s_small.dropped)
+                    return (spliced, pad_outs(outs),
+                            jnp.sum(s_small.dropped))
+
+                def skip_small(_):
+                    return (states, zero_outs(),
+                            jnp.sum(states.dropped) + 1)
+
+                fits = ~jnp.any(states.active[:, t_small:])
+                cand_states, cand_outs, cand_dropped = jax.lax.cond(
+                    fits, small_pass, skip_small, None)
+                use_full = cand_dropped > jnp.sum(states.dropped)
+
+                def full_pass(_):
+                    return jax.lax.scan(make_body(p), states, dets)
+
+                def accept(_):
+                    return cand_states, cand_outs
+
+                states, outs = jax.lax.cond(
+                    use_full, full_pass, accept, None)
+            else:
+                states, outs = jax.lax.scan(make_body(p), states, dets)
             # outs: each (K, S, ...) -> (S, K, ...)
             outs = jax.tree.map(lambda a: a.swapaxes(0, 1), outs)
             return states, outs
