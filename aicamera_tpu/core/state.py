@@ -138,10 +138,12 @@ def make_detections(tlwh, conf, class_id, feature=None, has_feature=None,
 
 
 # Per-track array fields (leading dim T = max_tracks). `next_id` and
-# `dropped` are scalars and travel with whichever state is "live".
-TRACK_AXIS_FIELDS = ("active", "state", "mean", "cov", "hits", "age", "tsu",
-                     "track_id", "class_id", "conf", "gallery",
-                     "gallery_count", "gallery_next")
+# `dropped` are per-tracker scalars and travel with whichever state is
+# "live". Derived from the dataclass so a new field can never silently
+# miss the slice/splice below.
+TRACK_AXIS_FIELDS = tuple(
+    f.name for f in dataclasses.fields(TrackerState)
+    if f.name not in ("next_id", "dropped"))
 
 
 def slice_tracks(state: TrackerState, t_small: int) -> TrackerState:

@@ -281,4 +281,15 @@ def get_outputs(state: TrackerState):
     tlwh = tlwh.at[:, 2:].set(jnp.maximum(tlwh[:, 2:], 0.0))
     tlbr = tlwh_to_tlbr(tlwh)
     out_mask = state.active & (state.state == CONFIRMED) & (state.tsu == 0)
-    return tlbr, state.track_id, state.class_id, state.conf, out_mask
+    # Canonical masked lanes: emit zeros where mask is False instead of a
+    # dead slot's stale mean/id/conf. Consumers must filter by mask either
+    # way; canonicalization makes outputs a pure function of the LIVE
+    # tracks, so the capacity-bucketed scan (whose padded high lanes are
+    # zeros by construction) is bitwise-equal to the full scan even after
+    # high-slot churn.
+    z = out_mask
+    return (jnp.where(z[:, None], tlbr, 0.0),
+            jnp.where(z, state.track_id, 0),
+            jnp.where(z, state.class_id, 0),
+            jnp.where(z, state.conf, 0.0),
+            out_mask)

@@ -92,6 +92,8 @@ class MultiStreamPipeline:
         # sharded states (a hot-path collective), and zero hot-path
         # collectives is a design invariant here
         self.scan_bucket = int(scan_bucket or 0) if mesh is None else 0
+        if self.scan_bucket < 0:
+            raise ValueError(f"scan_bucket must be >= 0 (got {scan_bucket})")
         self.input_shape = tuple(input_shape)
         self.conf_threshold = float(conf_threshold)
         self.nms_threshold = float(nms_threshold)
@@ -318,7 +320,12 @@ class MultiStreamPipeline:
                     return (states, zero_outs(),
                             jnp.sum(states.dropped) + 1)
 
-                fits = ~jnp.any(states.active[:, t_small:])
+                # headroom guard against overflow thrash near the boundary
+                # (see runtime/pipeline.py); every stream needs slack
+                headroom = max(4, t_small // 4)
+                fits = (~jnp.any(states.active[:, t_small:]) &
+                        (jnp.max(jnp.sum(states.active, axis=1))
+                         <= t_small - headroom))
                 cand_states, cand_outs, cand_dropped = jax.lax.cond(
                     fits, small_pass, skip_small, None)
                 use_full = cand_dropped > jnp.sum(states.dropped)

@@ -106,6 +106,8 @@ class TrackingPipeline:
         enable_persistent_cache()
         self.synthetic_load = int(synthetic_load)
         self.scan_bucket = int(scan_bucket or 0)
+        if self.scan_bucket < 0:
+            raise ValueError(f"scan_bucket must be >= 0 (got {scan_bucket})")
         self.input_shape = tuple(input_shape)
         self.conf_threshold = float(conf_threshold)
         self.nms_threshold = float(nms_threshold)
@@ -307,7 +309,12 @@ class TrackingPipeline:
                     # a high slot is active: force the full pass below
                     return state, zero_outs(), state.dropped + 1
 
-                fits = ~jnp.any(state.active[t_small:])
+                # headroom guard: near-boundary steady load with per-chunk
+                # churn would otherwise run the small scan, overflow, and
+                # pay the full rerun EVERY chunk (slower than unbucketed)
+                headroom = max(4, t_small // 4)
+                fits = (~jnp.any(state.active[t_small:]) &
+                        (jnp.sum(state.active) <= t_small - headroom))
                 cand_state, cand_outs, cand_dropped = jax.lax.cond(
                     fits, small_pass, skip_small, None)
                 # any dropped increment means the small table ran out of

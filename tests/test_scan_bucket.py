@@ -133,13 +133,14 @@ def test_bucketed_pipeline_overflow_and_highslot_paths_equal_full():
 
 # --- multistream -----------------------------------------------------------
 
-def _run_multistream(scan_bucket, n_chunks=2, chunk=3, streams=2):
+def _run_multistream(scan_bucket, n_chunks=2, chunk=3, streams=2,
+                     max_detections=16):
     """Zeroed conf thresholds let the seeded random-weight detector emit
     real (deterministic) detections, so tracks initiate and the scan does
     genuine lifecycle work without trained checkpoints."""
     from aicamera_tpu.parallel import MultiStreamPipeline
-    tp = TrackerParams(max_tracks=64, max_detections=16, nn_budget=4,
-                       max_age=10, n_init=2, feature_dim=512)
+    tp = TrackerParams(max_tracks=64, max_detections=max_detections,
+                       nn_budget=4, max_age=10, n_init=2, feature_dim=512)
     pipe = MultiStreamPipeline(
         n_streams=streams, frame_hw=(96, 128), input_shape=(128, 128),
         tracker_params=tp, max_reid_crops=4, conf_threshold=0.0,
@@ -155,8 +156,10 @@ def _run_multistream(scan_bucket, n_chunks=2, chunk=3, streams=2):
 
 
 def test_bucketed_multistream_equals_full():
-    a = _run_multistream(scan_bucket=16)
-    b = _run_multistream(scan_bucket=0)
+    """Bucket 24 with <= 8 dets/stream: the small path has headroom and
+    runs (fits = active <= bucket - headroom)."""
+    a = _run_multistream(scan_bucket=24, max_detections=8)
+    b = _run_multistream(scan_bucket=0, max_detections=8)
     # the zero-conf detector must actually produce tracks for this test
     # to mean anything
     assert np.asarray(a[0].active).sum() > 0
@@ -164,8 +167,24 @@ def test_bucketed_multistream_equals_full():
 
 
 def test_bucketed_multistream_overflow_equals_full():
-    """Bucket 2 with more live tracks than slots: overflow -> full rerun
-    in chunk 1, high-slot skip afterwards."""
-    a = _run_multistream(scan_bucket=2)
+    """Bucket 8 with up to 16 dets/stream: chunk 1 starts empty (fits)
+    but overflows the small table mid-chunk -> full rerun; later chunks
+    fail the fits check outright."""
+    a = _run_multistream(scan_bucket=8)
     b = _run_multistream(scan_bucket=0)
     _assert_runs_equal(a, b)
+
+
+def test_get_outputs_masked_lanes_are_canonical_zeros():
+    """A dead slot's stale mean/id/conf must not leak through get_outputs
+    (masked lanes are zeros, making bucketed and full outputs bitwise
+    equal even after high-slot churn — the reviewer's repro)."""
+    s = init_state(P_FULL)
+    s = s.replace(
+        mean=s.mean.at[20].set(jnp.array([50., 50., 1., 10., 0, 0, 0, 0])),
+        track_id=s.track_id.at[20].set(7),
+        conf=s.conf.at[20].set(0.9))  # stale data, active stays False
+    tlbr, ids, cls, conf, mask = get_outputs(s)
+    assert not bool(mask[20])
+    assert np.all(np.asarray(tlbr[20]) == 0)
+    assert int(ids[20]) == 0 and float(conf[20]) == 0.0
