@@ -26,4 +26,32 @@ __version__ = "0.2.0"  # keep in sync with pyproject.toml
 
 from . import config  # noqa: F401
 
-__all__ = ["config", "__version__"]
+# Lazy top-level exports (PEP 562): the reference-compatible facades and
+# the main runtime entry points, without importing jax/flax at package
+# import time (CLI startup and config-only consumers stay light).
+_LAZY_EXPORTS = {
+    "YOLODetector": "aicamera_tpu.detector",
+    "DeepSORT": "aicamera_tpu.tracker_api",
+    "ReIDModel": "aicamera_tpu.tracker_api",
+    "TrackingPipeline": "aicamera_tpu.runtime.pipeline",
+    "MultiStreamPipeline": "aicamera_tpu.parallel",
+    "XLAEngine": "aicamera_tpu.runtime.engine",
+    "SerializedEngine": "aicamera_tpu.runtime.engine",
+    "load_engine": "aicamera_tpu.runtime.engine",
+    "export_engine": "aicamera_tpu.runtime.engine",
+}
+
+__all__ = ["config", "__version__", *sorted(_LAZY_EXPORTS)]
+
+
+def __getattr__(name):
+    target = _LAZY_EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+    return getattr(importlib.import_module(target), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY_EXPORTS))

@@ -57,6 +57,12 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")
+    parser.add_argument("--auto_input", action="store_true",
+                        help="Letterbox 'auto' mode: convolve the "
+                             "minimum stride-32 rectangle instead of the "
+                             "full square canvas (skips the padding rows; "
+                             "faster on wide sources, detections can "
+                             "differ marginally at the canvas border).")
     parser.add_argument("--chunk_size", type=int, default=8,
                         help="Frames per fused device step (throughput knob; "
                              "1 = lowest latency).")
@@ -111,6 +117,7 @@ def main(argv=None):
         yolo_weights=args.yolo_weights,
         reid_weights=args.reid_weights,
         chunk_size=chunk,
+        letterbox_auto=args.auto_input,
         **({"input_shape": (args.input_shape, args.input_shape)}
            if args.input_shape else {}),
     )

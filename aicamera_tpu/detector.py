@@ -19,7 +19,9 @@ import numpy as np
 from . import config
 from .ops.nms import fused_decode_nms
 from .ops.preprocess import letterbox_spec, preprocess_yolo, scale_boxes_back
-from .runtime.engine import XLAEngine, enable_persistent_cache
+from .runtime.engine import (SerializedEngine, XLAEngine,
+                             enable_persistent_cache, export_engine,
+                             is_engine_file)
 from .runtime.params import resolve_yolo_params
 
 
@@ -37,12 +39,44 @@ class YOLODetector:
         self.input_shape = tuple(input_shape)
         self.conf_threshold = float(conf_threshold)
         self.nms_threshold = float(nms_threshold)
+        self.variant = variant
         self.device = device or jax.devices()[0]
+        self._serialized: SerializedEngine | None = None
+        self._steps = {}
+        if is_engine_file(engine_path):
+            # Deserialize a self-contained .xlae artifact: weights,
+            # letterbox spec and thresholds are baked in — the exact UX of
+            # the reference's `.engine` files (trt_engine.py:45-60).
+            self._serialized = SerializedEngine.load(engine_path)
+            meta = self._serialized.metadata
+            defaults = {"input_shape": tuple(config.YOLO_INPUT_SHAPE),
+                        "conf_threshold": float(config.YOLO_CONF_THRESHOLD),
+                        "nms_threshold": float(config.YOLO_NMS_THRESHOLD),
+                        "variant": "n"}
+            for attr, default in defaults.items():
+                if attr not in meta:
+                    continue
+                baked = meta[attr]
+                if isinstance(baked, list):
+                    baked = tuple(baked)
+                given = getattr(self, attr)
+                if given != baked and given != default:
+                    import warnings
+                    warnings.warn(
+                        f"{engine_path}: {attr}={baked!r} is baked into "
+                        f"the engine; the constructor value {given!r} is "
+                        "ignored.", stacklevel=2)
+                setattr(self, attr, baked)
+            self.model, self.params = None, None
+            self._dtype = None
+            print(f"YOLODetector initialized from serialized engine "
+                  f"'{self._serialized.name}' (XLA on "
+                  f"{self.device.platform}). Input shape: {self.input_shape}")
+            return
         self.model, self.params = resolve_yolo_params(
             variant, weights_path=engine_path)
         self._dtype = self.model.dtype
         self.params = jax.device_put(self.params, self.device)
-        self._steps = {}
         print(f"YOLODetector initialized (YOLOv8{variant}, XLA on "
               f"{self.device.platform}). Input shape: {self.input_shape}")
 
@@ -50,6 +84,22 @@ class YOLODetector:
         key = tuple(frame_hw)
         if key in self._steps:
             return self._steps[key]
+        if self._serialized is not None:
+            baked_hw = tuple(self._serialized.get_input_details()[0].shape
+                             )[:2]
+            if key != baked_hw:
+                raise ValueError(
+                    f"serialized engine '{self._serialized.name}' is built "
+                    f"for frame shape {baked_hw}, got {key}. Export an "
+                    "engine per frame shape (YOLODetector.export_engine), "
+                    "like the reference's fixed-shape TRT engines.")
+            eng = self._serialized
+
+            def call(params, frame_u8):  # params baked into the artifact
+                return eng(frame_u8)
+
+            self._steps[key] = call
+            return call
         spec = letterbox_spec(key, self.input_shape)
 
         def step(params, frame_u8):
@@ -103,8 +153,53 @@ class YOLODetector:
         jax.block_until_ready(out)
 
     def get_engine(self, frame_hw):
-        """The underlying XLAEngine (I/O introspection, cost analysis)."""
+        """The underlying engine (I/O introspection, cost analysis)."""
+        if self._serialized is not None:
+            self._get_step(frame_hw)  # shape validation
+            return self._serialized
         return self._get_step(frame_hw)
+
+    def export_engine(self, frame_hw, path, name: str | None = None):
+        """Serialize the fused detect step for ``frame_hw`` to a
+        self-contained ``.xlae`` artifact (weights + letterbox spec +
+        thresholds baked in) — the analog of the reference's trtexec build
+        (scripts/export_trt_engines.sh): a YOLODetector constructed with
+        ``engine_path=<artifact>`` runs with no weight files or model code
+        resolution.
+        """
+        if self._serialized is not None:
+            raise ValueError("this detector was itself loaded from a "
+                             "serialized engine; nothing new to export")
+        key = tuple(frame_hw)
+        spec = letterbox_spec(key, self.input_shape)
+        model, dtype = self.model, self._dtype
+        conf_t, nms_t = self.conf_threshold, self.nms_threshold
+        params = self.params
+
+        def step(frame_u8):
+            x = preprocess_yolo(frame_u8, spec, out_dtype=dtype)
+            levels = model.apply(params, x)
+            num, nboxes, nscores, nlabels = fused_decode_nms(
+                levels,
+                score_threshold=config.YOLO_NMS_SCORE_THRESHOLD,
+                iou_threshold=nms_t,
+                top_k=config.YOLO_NMS_TOPK,
+                max_det=config.YOLO_MAX_DETECTIONS)
+            boxes_frame = scale_boxes_back(nboxes[0], spec)
+            present = jnp.arange(boxes_frame.shape[0]) < num[0]
+            valid = present & (nscores[0] >= conf_t)
+            return boxes_frame, nscores[0], nlabels[0], valid
+
+        return export_engine(
+            step,
+            example_inputs=[jax.ShapeDtypeStruct((*key, 3), jnp.uint8)],
+            path=path,
+            name=name or f"yolov8{self.variant}_detect_{key[0]}x{key[1]}",
+            metadata={"frame_hw": list(key),
+                      "input_shape": list(self.input_shape),
+                      "conf_threshold": self.conf_threshold,
+                      "nms_threshold": self.nms_threshold,
+                      "variant": self.variant})
 
 
 if __name__ == "__main__":

@@ -83,7 +83,8 @@ class MultiStreamPipeline:
                  preprocess_impl: str = "auto",
                  yolo_weights: str | None = None,
                  reid_weights: str | None = None,
-                 scan_bucket: int | None = 32):
+                 scan_bucket: int | None = 32,
+                 letterbox_auto: bool = False):
         self.n_streams = int(n_streams)
         self.frame_hw = tuple(frame_hw)
         self.mesh = mesh
@@ -95,6 +96,9 @@ class MultiStreamPipeline:
         if self.scan_bucket < 0:
             raise ValueError(f"scan_bucket must be >= 0 (got {scan_bucket})")
         self.input_shape = tuple(input_shape)
+        # reference letterbox `auto` (minimum-rectangle) canvas — see
+        # TrackingPipeline's letterbox_auto docstring
+        self.letterbox_auto = bool(letterbox_auto)
         self.conf_threshold = float(conf_threshold)
         self.nms_threshold = float(nms_threshold)
         self.min_detection_confidence = float(min_detection_confidence)
@@ -146,7 +150,8 @@ class MultiStreamPipeline:
         self._step, self._chunk_step = self._build_step()
 
     def _build_step(self):
-        spec = letterbox_spec(self.frame_hw, self.input_shape)
+        spec = letterbox_spec(self.frame_hw, self.input_shape,
+                              auto=self.letterbox_auto)
         p = self.tracker_params
         n_det = p.max_detections
         n_crops = self.max_reid_crops

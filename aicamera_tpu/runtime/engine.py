@@ -19,7 +19,9 @@ with:
 
 from __future__ import annotations
 
+import json
 import os
+import struct
 import time
 from pathlib import Path
 from typing import Any, Callable, NamedTuple, Sequence
@@ -128,3 +130,155 @@ class XLAEngine:
             return self._compiled.cost_analysis()
         except Exception:
             return {}
+
+
+# --------------------------------------------------------------------------
+# Serialized engine artifacts (.xlae) — the TRT ``.engine`` file analog.
+#
+# The reference's build system (scripts/export_trt_engines.sh) compiles ONNX
+# models into self-contained ``.engine`` files that the runtime deserializes
+# with no model code or weight files present (trt_engine.py:45-60). The
+# TPU-native equivalent is ``jax.export``: the traced function — with its
+# weights closed over, so they are baked into the artifact as constants —
+# is serialized as portable StableHLO. ``load_engine`` replays it on any
+# exported platform; XLA recompiles once per process (amortized by the
+# persistent compilation cache), which is the XLA counterpart of TRT's
+# deserialize step.
+# --------------------------------------------------------------------------
+
+ENGINE_FILE_SUFFIX = ".xlae"
+_ENGINE_MAGIC = b"AICAMXLAE1"
+
+
+def is_engine_file(path) -> bool:
+    """True if ``path`` names a serialized engine artifact (by suffix)."""
+    return path is not None and str(path).endswith(ENGINE_FILE_SUFFIX)
+
+
+def export_engine(fn: Callable, example_inputs: Sequence[Any], path,
+                  name: str = "engine", metadata: dict | None = None,
+                  platforms: Sequence[str] = ("cpu", "tpu")) -> Path:
+    """Serialize ``fn`` (weights closed over → baked as constants) to
+    ``path``.
+
+    Args:
+        fn: pure function of the runtime inputs only. Anything it closes
+            over (model parameters, letterbox specs, thresholds) is
+            embedded in the artifact, exactly like weights inside a TRT
+            engine.
+        example_inputs: concrete arrays or ShapeDtypeStructs fixing the
+            input signature. Entries may carry ``jax.export`` symbolic
+            dimensions (e.g. a dynamic batch axis — the analog of the
+            reference ReID engine's dynamic batch 1..8,
+            export_trt_engines.sh:32-34).
+        path: output file; conventionally ``*.xlae``.
+        name: engine label stored in the header.
+        metadata: extra JSON-serializable facts (input shapes, thresholds)
+            recorded in the header for load-time introspection/validation.
+        platforms: lowering platforms baked into the artifact. The default
+            covers both this framework's production backend and the
+            hardware-free CPU test backend.
+    """
+    from jax import export as jax_export
+
+    specs = [x if isinstance(x, jax.ShapeDtypeStruct)
+             else jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype
+                                       if not hasattr(x, "dtype") else x.dtype)
+             for x in example_inputs]
+    exported = jax_export.export(
+        jax.jit(fn), platforms=tuple(platforms))(*specs)
+    blob = exported.serialize()
+    header = json.dumps({
+        "name": name,
+        "platforms": list(platforms),
+        "metadata": metadata or {},
+    }).encode("utf-8")
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(_ENGINE_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        f.write(blob)
+    return path
+
+
+class SerializedEngine:
+    """A deserialized ``.xlae`` engine: callable, introspectable, and
+    composable (its :attr:`exported`.call can be traced inside a larger
+    jitted program).
+
+    Mirrors the runtime face of ``TRTEngine`` (trt_engine.py:28-216):
+    deserialize once, introspect I/O, async execution. Inputs whose
+    exported shape is symbolic (dynamic batch) compile once per concrete
+    shape, like TRT optimization profiles.
+    """
+
+    def __init__(self, exported, name: str, metadata: dict,
+                 platforms: Sequence[str]):
+        self.exported = exported
+        self.name = name
+        self.metadata = metadata
+        self.platforms = tuple(platforms)
+        self._jitted = jax.jit(exported.call)
+        self._in_info = [
+            TensorInfo(f"input_{i}", tuple(a.shape), a.dtype)
+            for i, a in enumerate(exported.in_avals)]
+        self._out_info = [
+            TensorInfo(f"output_{i}", tuple(a.shape), a.dtype)
+            for i, a in enumerate(exported.out_avals)]
+
+    @classmethod
+    def load(cls, path) -> "SerializedEngine":
+        """Deserialize an engine artifact (TRTEngine._init_engine analog)."""
+        enable_persistent_cache()
+        with open(path, "rb") as f:
+            data = f.read()
+        if not data.startswith(_ENGINE_MAGIC):
+            raise ValueError(
+                f"{path}: not a serialized engine file (bad magic); "
+                f"expected an artifact written by export_engine()")
+        off = len(_ENGINE_MAGIC)
+        (hlen,) = struct.unpack_from("<I", data, off)
+        off += 4
+        header = json.loads(data[off:off + hlen].decode("utf-8"))
+        from jax import export as jax_export
+        exported = jax_export.deserialize(bytearray(data[off + hlen:]))
+        backend = jax.default_backend()
+        if backend not in header.get("platforms", []):
+            import warnings
+            warnings.warn(
+                f"{path}: engine was exported for platforms "
+                f"{header.get('platforms')} but the current backend is "
+                f"'{backend}'; calls will fail unless jax can lower it.",
+                stacklevel=2)
+        return cls(exported, header.get("name", "engine"),
+                   header.get("metadata", {}), header.get("platforms", ()))
+
+    def __call__(self, *inputs):
+        """Async execution; the caller syncs (reference stream contract)."""
+        return self._jitted(*inputs)
+
+    def warm_up(self, example_inputs: Sequence[Any], iters: int = 5) -> None:
+        """Compile + steady-state for concrete shapes (TRTEngine._warm_up)."""
+        dummies = [jnp.zeros(np.shape(x), getattr(x, "dtype", np.float32))
+                   if not isinstance(x, jax.ShapeDtypeStruct)
+                   else jnp.zeros(x.shape, x.dtype) for x in example_inputs]
+        out = None
+        for _ in range(max(1, iters)):
+            out = self._jitted(*dummies)
+        jax.block_until_ready(out)
+
+    def get_input_details(self):
+        return list(self._in_info)
+
+    def get_output_details(self):
+        return list(self._out_info)
+
+    def cost_analysis(self):
+        return {}
+
+
+def load_engine(path) -> SerializedEngine:
+    """Convenience alias: deserialize a ``.xlae`` artifact."""
+    return SerializedEngine.load(path)

@@ -82,7 +82,8 @@ class TrackingPipeline:
                  preprocess_impl: str = "auto",
                  with_reid: bool = True,
                  synthetic_load: int = 0,
-                 scan_bucket: int | None = 32):
+                 scan_bucket: int | None = 32,
+                 letterbox_auto: bool = False):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
@@ -102,13 +103,26 @@ class TrackingPipeline:
         found no free slot, visible as a ``dropped`` increment) the chunk
         is recomputed at full capacity inside the same program. None/0
         disables. Single-stream only — under vmap (multistream) both
-        cond branches would execute."""
+        cond branches would execute.
+
+        ``letterbox_auto``: run the detector on the reference letterbox
+        utility's ``auto`` (minimum-rectangle, stride-32) canvas instead
+        of the full ``input_shape`` square (image_processing.py:7-70's
+        ``auto=True`` mode — ultralytics' own inference default). A
+        Any 16:9 source (540p/720p/1080p) then convolves a 384x640
+        canvas instead of 640x640 (-40% rows) — the conv stack stops
+        spending MXU time and HBM bandwidth on constant-114 padding.
+        Detections can differ marginally at the canvas border vs the
+        square mode (conv halo over pad rows), so this is opt-in; the
+        default keeps the reference pipeline's exact ``auto=False``
+        configuration."""
         enable_persistent_cache()
         self.synthetic_load = int(synthetic_load)
         self.scan_bucket = int(scan_bucket or 0)
         if self.scan_bucket < 0:
             raise ValueError(f"scan_bucket must be >= 0 (got {scan_bucket})")
         self.input_shape = tuple(input_shape)
+        self.letterbox_auto = bool(letterbox_auto)
         self.conf_threshold = float(conf_threshold)
         self.nms_threshold = float(nms_threshold)
         self.min_detection_confidence = float(min_detection_confidence)
@@ -145,7 +159,8 @@ class TrackingPipeline:
     # --- step construction ---------------------------------------------------
 
     def _make_chunk_step(self, frame_hw: Tuple[int, int], k: int):
-        spec = letterbox_spec(frame_hw, self.input_shape)
+        spec = letterbox_spec(frame_hw, self.input_shape,
+                              auto=self.letterbox_auto)
         p = self.tracker_params
         n_det = p.max_detections
         n_crops = self.max_reid_crops

@@ -26,7 +26,8 @@ from .core import state as core_state
 from .core import tracker as core_tracker
 from .core.state import Detections, TrackerParams
 from .ops.crops import extract_reid_crops
-from .runtime.engine import enable_persistent_cache
+from .runtime.engine import (SerializedEngine, enable_persistent_cache,
+                             export_engine, is_engine_file)
 from .runtime.params import resolve_reid_params
 
 
@@ -42,9 +43,23 @@ class ReIDModel:
         enable_persistent_cache()
         self.input_shape = tuple(input_shape)
         self.device = device or jax.devices()[0]
-        self.model, self.params = resolve_reid_params(engine_path)
-        self.feature_dim = config.REID_FEATURE_DIM
-        self._apply = jax.jit(self.model.apply)
+        self._serialized: SerializedEngine | None = None
+        if is_engine_file(engine_path):
+            # Self-contained .xlae artifact: weights baked in; a symbolic
+            # batch axis gives the dynamic batch 1..N of the reference's
+            # TRT ReID engine (export_trt_engines.sh:32-34).
+            self._serialized = SerializedEngine.load(engine_path)
+            out = self._serialized.get_output_details()[0]
+            self.feature_dim = int(out.shape[-1])
+            in_shape = self._serialized.get_input_details()[0].shape
+            self.input_shape = (int(in_shape[1]), int(in_shape[2]))
+            self.model, self.params = None, None
+            eng = self._serialized
+            self._apply = lambda params, x: eng(x.astype(jnp.float32))
+        else:
+            self.model, self.params = resolve_reid_params(engine_path)
+            self.feature_dim = config.REID_FEATURE_DIM
+            self._apply = jax.jit(self.model.apply)
 
     def _preprocess(self, crop_bgr: np.ndarray) -> np.ndarray:
         """Host-side resize+normalize for the list API (parity with
@@ -56,6 +71,53 @@ class ReIDModel:
         mean = np.array([0.485, 0.456, 0.406], np.float32)
         std = np.array([0.229, 0.224, 0.225], np.float32)
         return (rgb - mean) / std  # HWC (TPU-native layout)
+
+    def device_apply(self, params, crops):
+        """Traceable embed for fused device steps: ``(B, H, W, 3)``
+        normalized crops -> ``(B, feature_dim)``. Composable inside a
+        larger jitted program (the exported StableHLO call is traceable
+        when this model wraps a serialized engine)."""
+        if self._serialized is not None:
+            return self._serialized.exported.call(
+                crops.astype(jnp.float32))
+        return self.model.apply(params, crops)
+
+    def export_engine(self, path, name: str = "reid_embed",
+                      dynamic_batch: bool = True, batch: int = 8):
+        """Serialize the embedder (weights baked in) to a ``.xlae``
+        artifact. ``dynamic_batch=True`` exports a symbolic batch axis —
+        the analog of the reference ReID engine's dynamic batch profile
+        (min 1 / max 8, export_trt_engines.sh:32-34) without its max-8
+        ceiling; each concrete batch compiles once on first use.
+
+        The artifact's input contract is normalized float32 NHWC crops
+        (ImageNet mean/std, RGB), the tensor both host
+        (:meth:`extract_features_batched`) and device
+        (:meth:`device_apply`) call sites already produce.
+        """
+        if self._serialized is not None:
+            raise ValueError("this ReIDModel was itself loaded from a "
+                             "serialized engine; nothing new to export")
+        model, params = self.model, self.params
+        mdtype = model.dtype
+
+        def embed(crops_f32):
+            feats = model.apply(params, crops_f32.astype(mdtype))
+            return feats.astype(jnp.float32)
+
+        if dynamic_batch:
+            from jax import export as jax_export
+            (b,) = jax_export.symbolic_shape("b")
+            spec = jax.ShapeDtypeStruct((b, *self.input_shape, 3),
+                                        jnp.float32)
+        else:
+            spec = jax.ShapeDtypeStruct((batch, *self.input_shape, 3),
+                                        jnp.float32)
+        return export_engine(
+            embed, example_inputs=[spec], path=path, name=name,
+            metadata={"input_shape": list(self.input_shape),
+                      "feature_dim": self.feature_dim,
+                      "dynamic_batch": bool(dynamic_batch)})
 
     def extract_features_batched(self, crops_bgr: List[np.ndarray]) -> np.ndarray:
         """(N crops) -> (N, feature_dim) float32, L2-normalized.
@@ -177,7 +239,7 @@ class DeepSORT:
         p = self.params
         n_det = p.max_detections
         n_crops = self.max_reid_crops
-        reid_apply = self.reid_model.model.apply
+        reid_apply = self.reid_model.device_apply
 
         def step(reid_params, state, frame_u8, d_xyxy, d_conf, d_cls, d_valid):
             crops, crop_valid = extract_reid_crops(

@@ -13,6 +13,7 @@
  11. Raw YOLOv8n forward (reference 'raw engine speed' row, ~400+ FPS)
  12. Raw ReID embed (reference raw engine row, ~600+ crops/s)
  13. YOLOv8x at 4K source / 1280x1280 input — extreme single-chip scale
+ 14. Letterbox `auto` minimum-rectangle canvas vs square (paired A/B)
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all
@@ -131,7 +132,7 @@ def config3_full_tracking(frames_n=500):
     fv = jnp.ones((k,), bool)
     chunks = _staged_chunks(arr, k)
     n = len(chunks) * k
-    best = 0.0
+    runs = []
     for _ in range(3):
         pipe.reset()
         state = pipe.state
@@ -142,8 +143,10 @@ def config3_full_tracking(frames_n=500):
                                         state, c, fv)
             outs.append(track_outs)
         jax.device_get(outs)
-        best = max(best, n / (time.perf_counter() - t0))
-    _emit("3_full_tracking_clip", best, frames=n, vs_baseline=round(best / 30, 2))
+        runs.append(n / (time.perf_counter() - t0))
+    med = sorted(runs)[1]
+    _emit("3_full_tracking_clip", med, frames=n, method="median_of_3",
+          vs_baseline=round(med / 30, 2))
 
 
 def config4_multistream(steps=48, chunk=12):
@@ -578,13 +581,60 @@ def config13_yolov8x_4k(frames_n=48):
           note="largest variant at 4K source; reference: n/a")
 
 
+def config14_auto_input(frames_n=500):
+    """Letterbox `auto` (minimum-rectangle) inference canvas vs the square
+    default, paired A/B in one process (absolute tunnel numbers drift;
+    paired comparisons are the trustworthy signal — docs/ROOFLINE.md).
+
+    The reference utility supports auto mode (image_processing.py:24-44)
+    but its pipeline always convolves the full 640x640 engine canvas; a
+    16:9 source spends 40% of those rows on constant-114 padding.
+    `letterbox_auto=True` runs the detector on the 384x640 minimum
+    rectangle instead. Interleaved runs, median of 3 each."""
+    import jax
+    import jax.numpy as jnp
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    arr = _load_clip(frames_n)
+    k = 96
+    fv = jnp.ones((k,), bool)
+    chunks = _staged_chunks(arr, k)
+    n = len(chunks) * k
+
+    def build(auto):
+        pipe = TrackingPipeline(chunk_size=k, letterbox_auto=auto)
+        pipe.warm_up(arr.shape[1:3])
+        return pipe, pipe._get_step(arr.shape[1:3], k)
+
+    pipes = {False: build(False), True: build(True)}
+    runs = {False: [], True: []}
+    for _ in range(3):
+        for auto in (False, True):  # interleaved A/B
+            pipe, step = pipes[auto]
+            pipe.reset()
+            state = pipe.state
+            outs = []
+            t0 = time.perf_counter()
+            for c in chunks:
+                state, _, track_outs = step(
+                    pipe.yolo_params, pipe.reid_params, state, c, fv)
+                outs.append(track_outs)
+            jax.device_get(outs)
+            runs[auto].append(n / (time.perf_counter() - t0))
+    sq, au = sorted(runs[False])[1], sorted(runs[True])[1]
+    _emit("14_auto_input_canvas", au, frames=n, method="median_of_3",
+          square_fps=round(sq, 1), speedup=round(au / sq, 3),
+          canvas="384x640 vs 640x640",
+          note="opt-in --auto_input; reference parity mode is square")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
            7: config7_worst_case_load, 8: config8_latency,
            9: config9_synthetic_trained, 10: config10_multistream_trained,
            11: config11_raw_detector, 12: config12_raw_reid,
-           13: config13_yolov8x_4k}
+           13: config13_yolov8x_4k, 14: config14_auto_input}
 
 
 def main():

@@ -331,3 +331,38 @@ def test_synthetic_load_saturates_detection_slate():
     assert len(results[-1].tracks) == tp.max_detections
     ids = sorted(t[4] for t in results[-1].tracks)
     assert ids == list(range(1, tp.max_detections + 1))
+
+
+def test_letterbox_auto_pipeline_runs_minimum_rectangle():
+    """letterbox_auto=True convolves the stride-modulo minimum rectangle
+    (reference image_processing.py auto mode) instead of the full square
+    canvas; outputs stay well-formed and in frame coordinates."""
+    from aicamera_tpu.ops.preprocess import letterbox_spec
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    spec = letterbox_spec(FRAME_HW, INPUT_HW, auto=True)
+    assert spec.out_hw == (96, 128)  # non-square: pad rows dropped
+    # the production case: the 960x540 clip scales to 640x360 and pads to
+    # the next stride-32 multiple -> 640x384 canvas, not 640x640 (40%
+    # fewer rows through the whole conv stack)
+    assert letterbox_spec((540, 960), (640, 640), auto=True).out_hw \
+        == (384, 640)
+
+    pipe = TrackingPipeline(chunk_size=4, input_shape=INPUT_HW,
+                            tracker_params=SMALL_TP, max_reid_crops=4,
+                            letterbox_auto=True)
+    results = list(pipe.process_frames(iter(_frames(8))))
+    assert [r.frame_index for r in results] == list(range(8))
+    fh, fw = FRAME_HW
+    for r in results:
+        assert r.det_boxes.shape[1] == 4
+        if len(r.det_boxes):
+            assert float(r.det_boxes[:, 0::2].max()) <= fw + 1e-3
+            assert float(r.det_boxes[:, 1::2].max()) <= fh + 1e-3
+
+    # determinism on the auto canvas
+    pipe.reset()
+    again = list(pipe.process_frames(iter(_frames(8))))
+    for a, b in zip(results, again):
+        np.testing.assert_array_equal(a.det_boxes, b.det_boxes)
+        assert a.tracks == b.tracks
