@@ -89,6 +89,16 @@ def main():
     median_fps = measure(pipe, chunks, arr.shape[1:3])
     del pipe
 
+    # Letterbox `auto` minimum-rectangle canvas (opt-in --auto_input):
+    # 16:9 sources convolve 384x640 instead of 640x640 (-40% conv rows;
+    # reference utility's auto mode, image_processing.py:24-44). Measured
+    # +19.6% over square in a paired A/B (benchmark config 14). The
+    # headline above stays the reference pipeline's exact square mode.
+    ap = TrackingPipeline(chunk_size=CHUNK, letterbox_auto=True)
+    ap.warm_up(arr.shape[1:3])
+    auto_canvas_fps = measure(ap, chunks, arr.shape[1:3])
+    del ap
+
     # Worst-case load: every frame carries a full 64-detection slate
     # (synthetic grid boxes injected post-NMS), saturating the largest
     # ReID crop bucket, the cascade and the track table. Guards the
@@ -131,6 +141,7 @@ def main():
         "unit": "fps",
         "vs_baseline": round(median_fps / BASELINE_FPS, 2),
         "worst_case_64det_fps": round(worst_case_fps, 1),
+        "auto_canvas_fps": round(auto_canvas_fps, 1),
         "method": "median_of_3",
     }
     if realistic_fps is not None:
