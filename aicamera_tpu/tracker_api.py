@@ -157,13 +157,21 @@ class DeepSORT:
                  min_detection_confidence: float = config.DEEPSORT_MIN_CONFIDENCE,
                  max_tracks: int = config.MAX_TRACKS,
                  max_detections: int = config.MAX_DETECTIONS,
-                 max_reid_crops: int = config.MAX_REID_CROPS):
+                 max_reid_crops: int = config.MAX_REID_CROPS,
+                 capture_features: bool = False):
         """Deviation from the reference: ``nn_budget=None`` means an
         unlimited feature gallery there (tracker_core.py:20), but the
         fixed-shape device state needs a static ring size, so ``None`` is
         mapped to a 100-entry ring (the reference's configured default,
         config.py:29) with a warning. Pass an explicit budget to silence
-        it."""
+        it.
+
+        ``capture_features=True`` makes each :meth:`update` stash host
+        copies of the step's post-filter inputs and on-device appearance
+        features (``last_tlwh/last_conf/last_class_id/last_features/
+        last_has_feature``, all length ``len(keep)``), so an external
+        oracle (e.g. the reference's TrackerCore) can be driven with
+        bit-identical detections — used by scripts/clip_parity.py."""
         enable_persistent_cache()
         if nn_budget is None:
             import warnings
@@ -184,6 +192,7 @@ class DeepSORT:
         )
         self.min_detection_confidence = float(min_detection_confidence)
         self.max_reid_crops = int(max_reid_crops)
+        self._capture = bool(capture_features)
         self.reid_model = ReIDModel(engine_path=reid_model_path,
                                     input_shape=reid_input_shape)
         self.state = core_state.init_state(self.params)
@@ -257,7 +266,10 @@ class DeepSORT:
                               valid=d_valid)
             state = core_tracker.predict(state, p)
             state = core_tracker.update(state, dets, p)
-            return state, core_tracker.get_outputs(state)
+            outs = core_tracker.get_outputs(state)
+            if self._capture:
+                return state, (outs, d_feats, d_hasfeat)
+            return state, outs
 
         self._steps[key] = jax.jit(step, donate_argnums=(1,))
         return self._steps[key]
@@ -320,6 +332,14 @@ class DeepSORT:
             jnp.asarray(original_frame_bgr),
             jnp.asarray(d_xyxy), jnp.asarray(d_conf),
             jnp.asarray(d_cls), jnp.asarray(d_valid))
+        if self._capture:
+            outs, d_feats, d_hasfeat = outs
+            self.last_tlwh = np.concatenate(
+                [d_xyxy[:k, :2], d_xyxy[:k, 2:] - d_xyxy[:k, :2]], axis=-1)
+            self.last_conf = d_conf[:k].copy()
+            self.last_class_id = d_cls[:k].copy()
+            self.last_features = np.asarray(d_feats)[:k].copy()
+            self.last_has_feature = np.asarray(d_hasfeat)[:k].copy()
         tlbr, ids, cls_ids, confs_out, mask = outs
 
         mask = np.asarray(mask)
