@@ -245,6 +245,13 @@ def main():
     ap.add_argument("--input", default=str(CLIP))
     ap.add_argument("--frames", type=int, default=0,
                     help="limit frame count (0 = all)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="instead of a video file, render N frames of the "
+                         "synthetic world the checkpoints were trained on "
+                         "(in-domain detection scores with real margins — "
+                         "isolates how much of the pipeline/facade "
+                         "divergence is the out-of-domain score-tie "
+                         "artifact)")
     ap.add_argument("--conf", type=float, default=0.25,
                     help="detector confidence threshold")
     ap.add_argument("--min_conf", type=float, default=0.3,
@@ -271,20 +278,30 @@ def main():
                          "facade/reference chain")
     args = ap.parse_args()
 
-    import cv2
     from aicamera_tpu.detector import YOLODetector
 
-    cap = cv2.VideoCapture(args.input)
-    frames = []
-    while True:
-        ok, f = cap.read()
-        if not ok or (args.frames and len(frames) >= args.frames):
-            break
-        frames.append(f)
-    cap.release()
-    if not frames:
-        sys.exit(f"no frames decoded from {args.input}")
-    print(f"{len(frames)} frames from {args.input}")
+    if args.synthetic:
+        from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+
+        world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0),
+                              seed=7, speed=3.0)
+        frames = [world.step()[0] for _ in range(args.synthetic)]
+        args.input = f"synthetic_world({args.synthetic} frames)"
+        print(f"{len(frames)} synthetic in-domain frames rendered")
+    else:
+        import cv2
+
+        cap = cv2.VideoCapture(args.input)
+        frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok or (args.frames and len(frames) >= args.frames):
+                break
+            frames.append(f)
+        cap.release()
+        if not frames:
+            sys.exit(f"no frames decoded from {args.input}")
+        print(f"{len(frames)} frames from {args.input}")
 
     if args.from_dump:
         z = np.load(args.from_dump)
