@@ -108,7 +108,7 @@ class TrackingPipeline:
         ``letterbox_auto``: run the detector on the reference letterbox
         utility's ``auto`` (minimum-rectangle, stride-32) canvas instead
         of the full ``input_shape`` square (image_processing.py:7-70's
-        ``auto=True`` mode — ultralytics' own inference default). A
+        ``auto=True`` mode — ultralytics' own inference default).
         Any 16:9 source (540p/720p/1080p) then convolves a 384x640
         canvas instead of 640x640 (-40% rows) — the conv stack stops
         spending MXU time and HBM bandwidth on constant-114 padding.
