@@ -77,6 +77,37 @@ def _save_msgpack(path: Path, params) -> None:
         f.write(serialization.to_bytes(params))
 
 
+def _validate_explicit(path: Path) -> None:
+    """An explicitly requested weights file must resolve to itself.
+
+    The silent fallbacks below are right for the *default* resolution
+    chain (missing default weights -> seeded random init is the documented
+    no-weights benchmark mode), but dangerous for an explicit path: a
+    typo'd ``--yolo_weights``, a missing ``--eval_only`` checkpoint, or a
+    serialized ``.xlae`` engine passed where raw weights are needed would
+    otherwise silently run with DIFFERENT (random or default) parameters.
+    The reference aborts on a bad engine path (aicamera_tracker.py:94-97);
+    so do we.
+    """
+    from .engine import is_engine_file
+
+    if is_engine_file(path):
+        raise ValueError(
+            f"{path} is a serialized engine artifact (.xlae): it bakes "
+            "weights + preprocess into a fixed batch-1 program and cannot "
+            "initialize a weight-based pipeline. Load it with "
+            "YOLODetector(engine_path=...) / ReIDModel(engine_path=...), "
+            "or pass the .msgpack/.onnx weights file here instead.")
+    if path.suffix not in (".msgpack", ".onnx"):
+        raise ValueError(
+            f"unsupported weights file {path}: expected a .msgpack Flax "
+            "checkpoint or a .onnx export")
+    if not path.exists():
+        raise FileNotFoundError(
+            f"weights file not found: {path} (an explicit path does not "
+            "fall back to random init; omit it for default resolution)")
+
+
 def resolve_yolo_params(variant: str = "n", num_classes: int = 80,
                         weights_path: str | None = None):
     """Return (model, params) for the YOLOv8 detector."""
@@ -84,6 +115,8 @@ def resolve_yolo_params(variant: str = "n", num_classes: int = 80,
                    dtype=compute_dtype())
     template = template_params(
         model, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    if weights_path:
+        _validate_explicit(Path(weights_path))
     path = Path(weights_path) if weights_path else config.YOLO_PARAMS_PATH
     if path.suffix == ".msgpack" and path.exists():
         return model, _load_msgpack(path, template)
@@ -114,6 +147,8 @@ def resolve_reid_params(weights_path: str | None = None):
                     dtype=compute_dtype())
     template = template_params(
         model, jnp.zeros((1, *config.REID_INPUT_SHAPE, 3), jnp.float32))
+    if weights_path:
+        _validate_explicit(Path(weights_path))
     path = Path(weights_path) if weights_path else config.REID_PARAMS_PATH
     if path.suffix == ".msgpack" and path.exists():
         return model, _load_msgpack(path, template)

@@ -56,6 +56,25 @@ def main():
 
     frame_valid = jnp.ones((CHUNK,), bool)
 
+    # The development tunnel degrades under sustained load (~1s per
+    # host<->device RPC; recovers after ~60s idle — CLAUDE.md,
+    # docs/ROOFLINE.md). If a prior process left it degraded, every
+    # number below is tunnel-bound, not device-bound (observed 796 FPS
+    # headline in a degraded window vs ~2300-2600 healthy). Probe a tiny
+    # distinct-buffer round-trip and idle until it is fast; a healthy
+    # host passes the first probe in ~ms. Real v5e PCIe hosts are
+    # unaffected.
+    jax.device_get(jnp.zeros((64,), jnp.float32))  # backend init, untimed
+    waited = 0.0
+    for i in range(5):
+        x = jnp.asarray(np.full((64,), float(i), np.float32))
+        t0 = time.perf_counter()
+        jax.device_get(x)
+        if time.perf_counter() - t0 < 0.25 or waited >= 240:
+            break
+        time.sleep(60)
+        waited += 60
+
     # stage the clip into HBM while the device is idle
     chunks = []
     for i in range(0, n, CHUNK):
@@ -63,27 +82,32 @@ def main():
         c.block_until_ready()
         chunks.append(c)
 
+    def timed_pass(pipe, step, chunks) -> float:
+        pipe.reset()
+        state = pipe.state
+        outs = []
+        t0 = time.perf_counter()
+        for c in chunks:
+            state, det_outs, track_outs = step(
+                pipe.yolo_params, pipe.reid_params, state, c,
+                frame_valid)
+            outs.append(track_outs)
+        jax.device_get(outs)  # output readback inside the timing
+        return len(chunks) * CHUNK / (time.perf_counter() - t0)
+
     def measure(pipe, chunks, hw) -> float:
         """Median tracked FPS over 3 passes (not best-of: VERDICT r1)."""
         step = pipe._get_step(hw, CHUNK)
-        total = len(chunks) * CHUNK
-
-        def timed_pass():
-            pipe.reset()
-            state = pipe.state
-            outs = []
-            t0 = time.perf_counter()
-            for c in chunks:
-                state, det_outs, track_outs = step(
-                    pipe.yolo_params, pipe.reid_params, state, c,
-                    frame_valid)
-                outs.append(track_outs)
-            jax.device_get(outs)  # output readback inside the timing
-            return total / (time.perf_counter() - t0)
-
-        runs = sorted(timed_pass() for _ in range(3))
+        runs = sorted(timed_pass(pipe, step, chunks) for _ in range(3))
         return runs[1]
 
+    # Headline: square canvas — the reference pipeline's exact letterbox
+    # configuration — measured as a sequential 3-pass block right after
+    # warm-up. Interleaving square/auto passes was tried and rejected: the
+    # alternating executables cost the square block ~15-25% (measured
+    # 1930 interleaved vs ~2300-2600 sequential in back-to-back healthy
+    # windows), so the paired-A/B ratio lives in benchmark config 14
+    # instead, where both variants pay the alternation equally.
     pipe = TrackingPipeline(chunk_size=CHUNK)
     pipe.warm_up(arr.shape[1:3])
     median_fps = measure(pipe, chunks, arr.shape[1:3])

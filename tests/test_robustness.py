@@ -112,3 +112,26 @@ def test_conflicting_feature_flags_degrade_to_iou():
     # same box, NO feature -> IoU stage keeps the id alive
     state = _step(state, [[11, 10, 20, 40]])
     assert _ids(state) == [1]
+
+
+def test_explicit_weights_path_must_exist(tmp_path):
+    """An explicit weights path that cannot be honored must raise, not
+    silently fall back to random/default params (reference behavior: a bad
+    engine path aborts, aicamera_tracker.py:94-97). Default resolution
+    (weights_path=None) keeps its documented random-init fallback."""
+    from aicamera_tpu.runtime.params import (resolve_reid_params,
+                                             resolve_yolo_params)
+
+    with pytest.raises(FileNotFoundError):
+        resolve_yolo_params("n", weights_path=str(tmp_path / "nope.msgpack"))
+    with pytest.raises(FileNotFoundError):
+        resolve_reid_params(weights_path=str(tmp_path / "nope.onnx"))
+    with pytest.raises(ValueError, match="unsupported"):
+        resolve_yolo_params("n", weights_path=str(tmp_path / "w.engine"))
+    # .xlae artifacts are engines, not weight files — direct to the facades
+    eng = tmp_path / "det.xlae"
+    eng.write_bytes(b"AICAMXLAE1")
+    with pytest.raises(ValueError, match="YOLODetector"):
+        resolve_yolo_params("n", weights_path=str(eng))
+    with pytest.raises(ValueError, match="ReIDModel"):
+        resolve_reid_params(weights_path=str(eng))
