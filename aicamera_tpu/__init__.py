@@ -32,6 +32,7 @@ from . import config  # noqa: F401
 _LAZY_EXPORTS = {
     "YOLODetector": "aicamera_tpu.detector",
     "DeepSORT": "aicamera_tpu.tracker_api",
+    "ByteTrack": "aicamera_tpu.bytetrack_api",
     "ReIDModel": "aicamera_tpu.tracker_api",
     "TrackingPipeline": "aicamera_tpu.runtime.pipeline",
     "MultiStreamPipeline": "aicamera_tpu.parallel",

@@ -54,6 +54,12 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     parser.add_argument("--variant", type=str, default="n",
                         choices=("n", "s", "m", "l", "x"),
                         help="YOLOv8 variant.")
+    parser.add_argument("--tracker", type=str, default="deepsort",
+                        choices=("deepsort", "bytetrack"),
+                        help="Tracking algorithm: 'deepsort' (reference "
+                             "parity, appearance + motion) or 'bytetrack' "
+                             "(motion-only two-pass association over high "
+                             "AND low score boxes; no ReID stage).")
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")
@@ -118,6 +124,7 @@ def main(argv=None):
         reid_weights=args.reid_weights,
         chunk_size=chunk,
         letterbox_auto=args.auto_input,
+        tracker=args.tracker,
         **({"input_shape": (args.input_shape, args.input_shape)}
            if args.input_shape else {}),
     )
@@ -128,7 +135,10 @@ def main(argv=None):
     # --- tracker-state checkpointing (streaming snapshots / resume) -------------
     if args.resume:
         from .runtime.checkpoint import load_state
-        pipeline.state = load_state(args.resume, pipeline.tracker_params)
+        resume_params = (pipeline.bytetrack_params
+                         if pipeline.tracker_kind == "bytetrack"
+                         else pipeline.tracker_params)
+        pipeline.state = load_state(args.resume, resume_params)
         print(f"Resumed tracker state from {args.resume}")
     ckpt_path = Path(args.checkpoint) if args.checkpoint else None
     if ckpt_path:

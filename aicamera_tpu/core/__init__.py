@@ -11,11 +11,11 @@ to one XLA program.
 
 from .state import TrackerState, Detections, TrackerParams, init_state, make_detections
 from .tracker import predict, update
-from . import kalman, costs, assignment
+from . import kalman, costs, assignment, bytetrack
 
 __all__ = [
     "TrackerState", "Detections", "TrackerParams",
     "init_state", "make_detections",
     "predict", "update",
-    "kalman", "costs", "assignment",
+    "kalman", "costs", "assignment", "bytetrack",
 ]

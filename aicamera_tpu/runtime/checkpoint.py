@@ -16,11 +16,14 @@ import jax
 import numpy as np
 from flax import serialization
 
+from ..core import bytetrack as _bt
 from ..core.state import TrackerParams, TrackerState, init_state
 
 
-def save_state(path: str | Path, state: TrackerState) -> None:
-    """Serialize a TrackerState (single- or multi-stream) to msgpack.
+def save_state(path: str | Path, state) -> None:
+    """Serialize a tracker state pytree (DeepSORT :class:`TrackerState` or
+    ByteTrack :class:`~aicamera_tpu.core.bytetrack.ByteTrackState`,
+    single- or multi-stream) to msgpack.
 
     The write is atomic (temp file + rename) so periodic streaming
     snapshots (cli --checkpoint) can never leave a torn file behind if the
@@ -35,10 +38,18 @@ def save_state(path: str | Path, state: TrackerState) -> None:
     tmp.replace(path)
 
 
-def load_state(path: str | Path, params: TrackerParams,
-               n_streams: int | None = None) -> TrackerState:
-    """Load a TrackerState; shapes must match the given params."""
-    template = init_state(params)
+def load_state(path: str | Path, params,
+               n_streams: int | None = None):
+    """Load a tracker state; shapes must match the given params.
+
+    ``params`` selects the state family: a :class:`TrackerParams` loads a
+    DeepSORT :class:`TrackerState`, a :class:`_bt.ByteTrackParams` loads a
+    :class:`_bt.ByteTrackState`.
+    """
+    if isinstance(params, _bt.ByteTrackParams):
+        template = _bt.init_state(params)
+    else:
+        template = init_state(params)
     if n_streams is not None:
         template = jax.tree.map(
             lambda x: np.broadcast_to(

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
+from ..core import bytetrack as bt_core
 from ..core import state as core_state
 from ..core import tracker as core_tracker
 from ..core.state import Detections, TrackerParams
@@ -83,7 +84,9 @@ class TrackingPipeline:
                  with_reid: bool = True,
                  synthetic_load: int = 0,
                  scan_bucket: int | None = 32,
-                 letterbox_auto: bool = False):
+                 letterbox_auto: bool = False,
+                 tracker: str = "deepsort",
+                 bytetrack_params: bt_core.ByteTrackParams | None = None):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
@@ -115,8 +118,35 @@ class TrackingPipeline:
         Detections can differ marginally at the canvas border vs the
         square mode (conv halo over pad rows), so this is opt-in; the
         default keeps the reference pipeline's exact ``auto=False``
-        configuration."""
+        configuration.
+
+        ``tracker``: ``"deepsort"`` (default — the reference algorithm) or
+        ``"bytetrack"`` (:mod:`..core.bytetrack` — motion-only two-pass
+        association; reference README.md "Future Enhancements"). ByteTrack
+        mode disables the ReID crop/embed stage entirely (no appearance
+        model) and feeds the tracker every class-eligible detection above
+        its ``low_thresh`` (0.1) regardless of ``conf_threshold`` — the
+        low-score second association is the algorithm's point. The NMS
+        score floor is lowered to ``low_thresh`` to surface those boxes;
+        ``conf_threshold`` still governs the *detection output* lists.
+        The capacity-bucketed scan only applies to the DeepSORT core (the
+        ByteTrack scan carries no gallery/cascade and is already cheap)."""
         enable_persistent_cache()
+        self.tracker_kind = str(tracker)
+        if self.tracker_kind not in ("deepsort", "bytetrack"):
+            raise ValueError(
+                f"tracker must be 'deepsort' or 'bytetrack' (got {tracker})")
+        if self.tracker_kind == "bytetrack":
+            self.bytetrack_params = bytetrack_params or bt_core.ByteTrackParams(
+                max_tracks=config.MAX_TRACKS,
+                max_detections=config.MAX_DETECTIONS)
+            with_reid = False
+            scan_bucket = 0
+        else:
+            if bytetrack_params is not None:
+                raise ValueError(
+                    "bytetrack_params requires tracker='bytetrack'")
+            self.bytetrack_params = None
         self.synthetic_load = int(synthetic_load)
         self.scan_bucket = int(scan_bucket or 0)
         if self.scan_bucket < 0:
@@ -153,8 +183,17 @@ class TrackingPipeline:
         )
         self._track_class_ids = jnp.asarray(
             config.CLASS_IDS_TO_TRACK, jnp.int32)
-        self.state = core_state.init_state(self.tracker_params)
+        self._nms_score_floor = config.YOLO_NMS_SCORE_THRESHOLD
+        if self.tracker_kind == "bytetrack":
+            self._nms_score_floor = min(self._nms_score_floor,
+                                        self.bytetrack_params.low_thresh)
+        self.state = self._init_tracker_state()
         self._steps = {}
+
+    def _init_tracker_state(self):
+        if self.tracker_kind == "bytetrack":
+            return bt_core.init_state(self.bytetrack_params)
+        return core_state.init_state(self.tracker_params)
 
     # --- step construction ---------------------------------------------------
 
@@ -162,7 +201,9 @@ class TrackingPipeline:
         spec = letterbox_spec(frame_hw, self.input_shape,
                               auto=self.letterbox_auto)
         p = self.tracker_params
-        n_det = p.max_detections
+        bytetrack = self.tracker_kind == "bytetrack"
+        n_det = (self.bytetrack_params.max_detections if bytetrack
+                 else p.max_detections)
         n_crops = self.max_reid_crops
         with_reid = self.with_reid
 
@@ -185,7 +226,7 @@ class TrackingPipeline:
             levels = self.yolo.apply(yolo_params, x)
             num, nboxes, nscores, nlabels = fused_decode_nms(
                 levels,
-                score_threshold=config.YOLO_NMS_SCORE_THRESHOLD,
+                score_threshold=self._nms_score_floor,
                 iou_threshold=self.nms_threshold,
                 top_k=config.YOLO_NMS_TOPK,
                 max_det=config.YOLO_MAX_DETECTIONS)
@@ -198,8 +239,16 @@ class TrackingPipeline:
             det_valid = present & (scores >= self.conf_threshold)
             trackable = jnp.any(
                 labels[:, None] == self._track_class_ids[None, :], axis=1)
-            elig = det_valid & trackable & \
-                (scores >= self.min_detection_confidence)
+            if bytetrack:
+                # the tracker must see every box above its low-score floor
+                # (strictly; at-or-below is invisible to all BYTE stages) —
+                # independent of conf_threshold, which only gates the
+                # *detection output* lists above.
+                elig = present & trackable & \
+                    (scores > self.bytetrack_params.low_thresh)
+            else:
+                elig = det_valid & trackable & \
+                    (scores >= self.min_detection_confidence)
             rank = jnp.cumsum(elig) - 1
             slot = jnp.where(elig & (rank < n_det), rank, n_det)
 
@@ -276,6 +325,26 @@ class TrackingPipeline:
 
             tlwh = jnp.concatenate(
                 [d_xyxy[..., :2], d_xyxy[..., 2:] - d_xyxy[..., :2]], axis=-1)
+
+            if bytetrack:
+                pbt = self.bytetrack_params
+
+                def scan_body_bt(st, per_frame):
+                    f_tlwh, f_conf, f_cls, f_valid, f_frame_valid = per_frame
+                    dets = bt_core.ByteDetections(
+                        tlwh=f_tlwh, score=f_conf, class_id=f_cls,
+                        valid=f_valid)
+                    st = jax.lax.cond(
+                        f_frame_valid,
+                        lambda s: bt_core.step(s, dets, pbt),
+                        lambda s: s, st)
+                    return st, bt_core.get_outputs(st)
+
+                state, track_outs = jax.lax.scan(
+                    scan_body_bt, state,
+                    (tlwh, d_conf, d_cls, d_valid, frame_valid))
+                det_outs = (num, boxes_f, scores, labels, det_valid)
+                return state, det_outs, track_outs
 
             def make_scan_body(pp):
                 def scan_body(st, per_frame):
@@ -364,7 +433,7 @@ class TrackingPipeline:
 
     def reset(self):
         """Fresh tracker state (ids restart at 1, reference track.py:160)."""
-        self.state = core_state.init_state(self.tracker_params)
+        self.state = self._init_tracker_state()
 
     def _dispatch_chunk(self, frames_np: np.ndarray, n_valid: int | None = None):
         """Upload one (K,H,W,3) chunk and dispatch the fused step (async)."""

@@ -14,6 +14,8 @@
  12. Raw ReID embed (reference raw engine row, ~600+ crops/s)
  13. YOLOv8x at 4K source / 1280x1280 input — extreme single-chip scale
  14. Letterbox `auto` minimum-rectangle canvas vs square (paired A/B)
+ 15. ByteTrack on the clip (alternative tracker core, no ReID stage)
+ 16. ByteTrack under the realistic trained load, MOTA-checked (vs config 9)
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all
@@ -628,13 +630,113 @@ def config14_auto_input(frames_n=500):
           note="opt-in --auto_input; reference parity mode is square")
 
 
+def config15_bytetrack_clip(frames_n=500):
+    """Full ByteTrack tracking on the clip — the alternative tracker core
+    (reference README.md 'Future Enhancements': ByteTrack integration).
+    Same clip/chunk/median methodology as config 3, but the fused step has
+    NO ReID crop/embed stage (motion-only association) and surfaces
+    low-score boxes to the tracker (NMS floor at 0.1)."""
+    import jax
+    import jax.numpy as jnp
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    arr = _load_clip(frames_n)
+    k = 96
+    pipe = TrackingPipeline(chunk_size=k, tracker="bytetrack")
+    pipe.warm_up(arr.shape[1:3])
+    step = pipe._get_step(arr.shape[1:3], k)
+    fv = jnp.ones((k,), bool)
+    chunks = _staged_chunks(arr, k)
+    n = len(chunks) * k
+    runs = []
+    for _ in range(3):
+        pipe.reset()
+        state = pipe.state
+        outs = []
+        t0 = time.perf_counter()
+        for c in chunks:
+            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
+                                        state, c, fv)
+            outs.append(track_outs)
+        jax.device_get(outs)
+        runs.append(n / (time.perf_counter() - t0))
+    _emit("15_bytetrack_clip", sorted(runs)[1], frames=n,
+          method="median_of_3", note="motion-only tracker, no ReID stage")
+
+
+def config16_bytetrack_trained(frames_n=288):
+    """ByteTrack under the REALISTIC trained-detector load (the config-9
+    scenario), with MOTA quality vs exact synthetic ground truth — a
+    direct quality+speed comparison against the DeepSORT core on the
+    identical workload."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pathlib import Path
+    from aicamera_tpu.eval import evaluate_mot
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+
+    root = Path(__file__).resolve().parent.parent
+    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
+    if not weights.exists():
+        print(json.dumps({"config": "16_bytetrack_trained", "value": None,
+                          "note": "checkpoint missing — run "
+                                  "scripts/train_synthetic.py"}))
+        return
+    world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0), seed=4,
+                          speed=3.0)
+    frames, gt = [], []
+    for _ in range(frames_n):
+        f, b, ids, cls, v = world.step()
+        frames.append(f)
+        gt.append((b[v], ids[v]))
+    arr = np.stack(frames)
+
+    k = 96
+    pipe = TrackingPipeline(chunk_size=k, tracker="bytetrack",
+                            yolo_weights=str(weights))
+    pipe.warm_up(arr.shape[1:3])
+    step = pipe._get_step(arr.shape[1:3], k)
+    fv = jnp.ones((k,), bool)
+    chunks = _staged_chunks(arr, k)
+    n = len(chunks) * k
+    runs = []
+    for _ in range(3):
+        pipe.reset()
+        state = pipe.state
+        outs = []
+        t0 = time.perf_counter()
+        for c in chunks:
+            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
+                                        state, c, fv)
+            outs.append(track_outs)
+        jax.device_get(outs)
+        runs.append(n / (time.perf_counter() - t0))
+
+    pipe.reset()
+    hyp = []
+    for res in pipe.process_frames(iter(list(arr[:96]))):
+        if res.tracks:
+            hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
+                        np.asarray([t[4] for t in res.tracks], np.int64)))
+        else:
+            hyp.append((np.zeros((0, 4), np.float32),
+                        np.zeros((0,), np.int64)))
+    mot = evaluate_mot(gt[5:96], hyp[5:96])
+    _emit("16_bytetrack_trained", sorted(runs)[1], frames=n,
+          method="median_of_3", mota=round(mot.mota, 3),
+          motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          note="same workload as config 9; motion-only tracker")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
            7: config7_worst_case_load, 8: config8_latency,
            9: config9_synthetic_trained, 10: config10_multistream_trained,
            11: config11_raw_detector, 12: config12_raw_reid,
-           13: config13_yolov8x_4k, 14: config14_auto_input}
+           13: config13_yolov8x_4k, 14: config14_auto_input,
+           15: config15_bytetrack_clip, 16: config16_bytetrack_trained}
 
 
 def main():

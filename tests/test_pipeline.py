@@ -366,3 +366,78 @@ def test_letterbox_auto_pipeline_runs_minimum_rectangle():
     for a, b in zip(results, again):
         np.testing.assert_array_equal(a.det_boxes, b.det_boxes)
         assert a.tracks == b.tracks
+
+
+def test_bytetrack_pipeline_runs_and_matches_facade():
+    """ByteTrack mode: the fused pipeline (no ReID stage, low NMS floor)
+    must agree frame-by-frame with the ByteTrack facade replaying the
+    pipeline's own detection outputs. conf_threshold == low_thresh makes
+    the emitted detection lists a superset of what the scan consumed, and
+    the facade's class + low-score prefilter reconstructs exactly that
+    eligible set in the same order."""
+    from aicamera_tpu.bytetrack_api import ByteTrack
+    from aicamera_tpu.core.bytetrack import ByteTrackParams
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    bp = ByteTrackParams(max_tracks=16, max_detections=8)
+    pipe = TrackingPipeline(chunk_size=4, input_shape=INPUT_HW,
+                            tracker="bytetrack", bytetrack_params=bp,
+                            conf_threshold=bp.low_thresh)
+    results = list(pipe.process_frames(iter(_frames(8, seed=3))))
+    assert [r.frame_index for r in results] == list(range(8))
+
+    facade = ByteTrack(max_tracks=16, max_detections=8)
+    for r in results:
+        n = len(r.det_boxes)
+        replay = facade.update(
+            r.det_boxes, r.det_scores,
+            r.det_labels, None) if n else facade.update(
+            np.zeros((0, 4)), np.zeros(0), np.zeros(0), None)
+        assert replay == r.tracks, f"frame {r.frame_index}"
+
+    # determinism of the fused bytetrack step
+    pipe.reset()
+    again = list(pipe.process_frames(iter(_frames(8, seed=3))))
+    for a, b in zip(results, again):
+        np.testing.assert_array_equal(a.det_boxes, b.det_boxes)
+        assert a.tracks == b.tracks
+
+
+def test_bytetrack_pipeline_has_no_reid_stage():
+    from aicamera_tpu.core.bytetrack import ByteTrackParams
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    bp = ByteTrackParams(max_tracks=16, max_detections=8)
+    pipe = TrackingPipeline(chunk_size=2, input_shape=INPUT_HW,
+                            tracker="bytetrack", bytetrack_params=bp)
+    assert pipe.with_reid is False
+    assert pipe.scan_bucket == 0
+    # NMS floor lowered to the BYTE low-score threshold
+    assert pipe._nms_score_floor == bp.low_thresh
+    # deepsort pipelines are untouched
+    with pytest.raises(ValueError):
+        TrackingPipeline(tracker="bytetrack-typo")
+    with pytest.raises(ValueError):
+        TrackingPipeline(bytetrack_params=bp)  # requires tracker=bytetrack
+
+
+def test_bytetrack_checkpoint_roundtrip(tmp_path):
+    from aicamera_tpu.core.bytetrack import (ByteTrackParams, ByteDetections,
+                                             init_state, step)
+    from aicamera_tpu.runtime.checkpoint import load_state, save_state
+    import jax.numpy as jnp
+
+    p = ByteTrackParams(max_tracks=16, max_detections=8)
+    s = init_state(p)
+    d = ByteDetections(
+        tlwh=jnp.asarray([[10., 10., 30., 60.]] + [[0.] * 4] * 7),
+        score=jnp.asarray([0.9] + [0.0] * 7),
+        class_id=jnp.zeros((8,), jnp.int32),
+        valid=jnp.asarray([True] + [False] * 7))
+    s = step(s, d, p)
+    path = tmp_path / "bt_state.msgpack"
+    save_state(path, s)
+    restored = load_state(path, p)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s)),
+                    jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
