@@ -55,11 +55,15 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                         choices=("n", "s", "m", "l", "x"),
                         help="YOLOv8 variant.")
     parser.add_argument("--tracker", type=str, default="deepsort",
-                        choices=("deepsort", "bytetrack"),
+                        choices=("deepsort", "bytetrack", "ocsort"),
                         help="Tracking algorithm: 'deepsort' (reference "
-                             "parity, appearance + motion) or 'bytetrack' "
+                             "parity, appearance + motion), 'bytetrack' "
                              "(motion-only two-pass association over high "
-                             "AND low score boxes; no ReID stage).")
+                             "AND low score boxes; no ReID stage) or "
+                             "'ocsort' (observation-centric motion "
+                             "tracking: OCM momentum bonus, last-"
+                             "observation recovery, re-update on revival; "
+                             "no ReID stage).")
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")
@@ -135,9 +139,10 @@ def main(argv=None):
     # --- tracker-state checkpointing (streaming snapshots / resume) -------------
     if args.resume:
         from .runtime.checkpoint import load_state
-        resume_params = (pipeline.bytetrack_params
-                         if pipeline.tracker_kind == "bytetrack"
-                         else pipeline.tracker_params)
+        resume_params = {"bytetrack": pipeline.bytetrack_params,
+                         "ocsort": pipeline.ocsort_params,
+                         }.get(pipeline.tracker_kind,
+                               pipeline.tracker_params)
         pipeline.state = load_state(args.resume, resume_params)
         print(f"Resumed tracker state from {args.resume}")
     ckpt_path = Path(args.checkpoint) if args.checkpoint else None

@@ -17,6 +17,7 @@ import numpy as np
 from flax import serialization
 
 from ..core import bytetrack as _bt
+from ..core import ocsort as _oc
 from ..core.state import TrackerParams, TrackerState, init_state
 
 
@@ -44,10 +45,13 @@ def load_state(path: str | Path, params,
 
     ``params`` selects the state family: a :class:`TrackerParams` loads a
     DeepSORT :class:`TrackerState`, a :class:`_bt.ByteTrackParams` loads a
-    :class:`_bt.ByteTrackState`.
+    :class:`_bt.ByteTrackState`, an :class:`_oc.OCSortParams` loads an
+    :class:`_oc.OCSortState`.
     """
     if isinstance(params, _bt.ByteTrackParams):
         template = _bt.init_state(params)
+    elif isinstance(params, _oc.OCSortParams):
+        template = _oc.init_state(params)
     else:
         template = init_state(params)
     if n_streams is not None:

@@ -34,6 +34,7 @@ import numpy as np
 
 from .. import config
 from ..core import bytetrack as bt_core
+from ..core import ocsort as oc_core
 from ..core import state as core_state
 from ..core import tracker as core_tracker
 from ..core.state import Detections, TrackerParams
@@ -86,7 +87,8 @@ class TrackingPipeline:
                  scan_bucket: int | None = 32,
                  letterbox_auto: bool = False,
                  tracker: str = "deepsort",
-                 bytetrack_params: bt_core.ByteTrackParams | None = None):
+                 bytetrack_params: bt_core.ByteTrackParams | None = None,
+                 ocsort_params: oc_core.OCSortParams | None = None):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
@@ -120,33 +122,44 @@ class TrackingPipeline:
         default keeps the reference pipeline's exact ``auto=False``
         configuration.
 
-        ``tracker``: ``"deepsort"`` (default — the reference algorithm) or
+        ``tracker``: ``"deepsort"`` (default — the reference algorithm),
         ``"bytetrack"`` (:mod:`..core.bytetrack` — motion-only two-pass
-        association; reference README.md "Future Enhancements"). ByteTrack
-        mode disables the ReID crop/embed stage entirely (no appearance
-        model) and feeds the tracker every class-eligible detection above
-        its ``low_thresh`` (0.1) regardless of ``conf_threshold`` — the
-        low-score second association is the algorithm's point. The NMS
-        score floor is lowered to ``low_thresh`` to surface those boxes;
-        ``conf_threshold`` still governs the *detection output* lists.
-        The capacity-bucketed scan only applies to the DeepSORT core (the
-        ByteTrack scan carries no gallery/cascade and is already cheap)."""
+        association) or ``"ocsort"`` (:mod:`..core.ocsort` —
+        observation-centric SORT); the latter two are the reference
+        README's own "Future Enhancements" list. Both disable the ReID
+        crop/embed stage entirely (no appearance model). ByteTrack
+        additionally feeds the tracker every class-eligible detection
+        above its ``low_thresh`` (0.1) regardless of ``conf_threshold`` —
+        the low-score second association is the algorithm's point — and
+        the NMS score floor drops to ``low_thresh`` to surface those
+        boxes; ``conf_threshold`` still governs the *detection output*
+        lists. OC-SORT consumes only detections above its strict
+        ``det_thresh`` (0.6). The capacity-bucketed scan only applies to
+        the DeepSORT core (the alternative scans carry no
+        gallery/cascade and are already cheap)."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
-        if self.tracker_kind not in ("deepsort", "bytetrack"):
-            raise ValueError(
-                f"tracker must be 'deepsort' or 'bytetrack' (got {tracker})")
+        if self.tracker_kind not in ("deepsort", "bytetrack", "ocsort"):
+            raise ValueError(f"tracker must be 'deepsort', 'bytetrack' or "
+                             f"'ocsort' (got {tracker})")
+        if bytetrack_params is not None and self.tracker_kind != "bytetrack":
+            raise ValueError("bytetrack_params requires tracker='bytetrack'")
+        if ocsort_params is not None and self.tracker_kind != "ocsort":
+            raise ValueError("ocsort_params requires tracker='ocsort'")
+        self.bytetrack_params = None
+        self.ocsort_params = None
         if self.tracker_kind == "bytetrack":
             self.bytetrack_params = bytetrack_params or bt_core.ByteTrackParams(
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
             with_reid = False
             scan_bucket = 0
-        else:
-            if bytetrack_params is not None:
-                raise ValueError(
-                    "bytetrack_params requires tracker='bytetrack'")
-            self.bytetrack_params = None
+        elif self.tracker_kind == "ocsort":
+            self.ocsort_params = ocsort_params or oc_core.OCSortParams(
+                max_tracks=config.MAX_TRACKS,
+                max_detections=config.MAX_DETECTIONS)
+            with_reid = False
+            scan_bucket = 0
         self.synthetic_load = int(synthetic_load)
         self.scan_bucket = int(scan_bucket or 0)
         if self.scan_bucket < 0:
@@ -193,6 +206,8 @@ class TrackingPipeline:
     def _init_tracker_state(self):
         if self.tracker_kind == "bytetrack":
             return bt_core.init_state(self.bytetrack_params)
+        if self.tracker_kind == "ocsort":
+            return oc_core.init_state(self.ocsort_params)
         return core_state.init_state(self.tracker_params)
 
     # --- step construction ---------------------------------------------------
@@ -202,8 +217,13 @@ class TrackingPipeline:
                               auto=self.letterbox_auto)
         p = self.tracker_params
         bytetrack = self.tracker_kind == "bytetrack"
-        n_det = (self.bytetrack_params.max_detections if bytetrack
-                 else p.max_detections)
+        ocsort = self.tracker_kind == "ocsort"
+        if bytetrack:
+            n_det = self.bytetrack_params.max_detections
+        elif ocsort:
+            n_det = self.ocsort_params.max_detections
+        else:
+            n_det = p.max_detections
         n_crops = self.max_reid_crops
         with_reid = self.with_reid
 
@@ -246,6 +266,11 @@ class TrackingPipeline:
                 # *detection output* lists above.
                 elig = present & trackable & \
                     (scores > self.bytetrack_params.low_thresh)
+            elif ocsort:
+                # the step applies the same strict gate itself; filtering
+                # here just frees detection slots
+                elig = present & trackable & \
+                    (scores > self.ocsort_params.det_thresh)
             else:
                 elig = det_valid & trackable & \
                     (scores >= self.min_detection_confidence)
@@ -343,6 +368,26 @@ class TrackingPipeline:
                 state, track_outs = jax.lax.scan(
                     scan_body_bt, state,
                     (tlwh, d_conf, d_cls, d_valid, frame_valid))
+                det_outs = (num, boxes_f, scores, labels, det_valid)
+                return state, det_outs, track_outs
+
+            if ocsort:
+                poc = self.ocsort_params
+
+                def scan_body_oc(st, per_frame):
+                    f_xyxy, f_conf, f_cls, f_valid, f_frame_valid = per_frame
+                    dets = oc_core.OCSortDetections(
+                        xyxy=f_xyxy, score=f_conf, class_id=f_cls,
+                        valid=f_valid)
+                    st = jax.lax.cond(
+                        f_frame_valid,
+                        lambda s: oc_core.step(s, dets, poc),
+                        lambda s: s, st)
+                    return st, oc_core.get_outputs(st, poc)
+
+                state, track_outs = jax.lax.scan(
+                    scan_body_oc, state,
+                    (d_xyxy, d_conf, d_cls, d_valid, frame_valid))
                 det_outs = (num, boxes_f, scores, labels, det_valid)
                 return state, det_outs, track_outs
 

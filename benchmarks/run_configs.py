@@ -16,6 +16,8 @@
  14. Letterbox `auto` minimum-rectangle canvas vs square (paired A/B)
  15. ByteTrack on the clip (alternative tracker core, no ReID stage)
  16. ByteTrack under the realistic trained load, MOTA-checked (vs config 9)
+ 17. OC-SORT on the clip (observation-centric tracker, no ReID stage)
+ 18. OC-SORT under the realistic trained load, MOTA-checked (vs 9/16)
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all
@@ -729,6 +731,106 @@ def config16_bytetrack_trained(frames_n=288):
           note="same workload as config 9; motion-only tracker")
 
 
+def config17_ocsort_clip(frames_n=500):
+    """Full OC-SORT tracking on the clip — the second tracker on the
+    reference README's 'Future Enhancements' list. Same clip/chunk/median
+    methodology as configs 3/15; the fused step has NO ReID crop/embed
+    stage and applies OC-SORT's strict score > 0.6 input gate."""
+    import jax
+    import jax.numpy as jnp
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    arr = _load_clip(frames_n)
+    k = 96
+    pipe = TrackingPipeline(chunk_size=k, tracker="ocsort")
+    pipe.warm_up(arr.shape[1:3])
+    step = pipe._get_step(arr.shape[1:3], k)
+    fv = jnp.ones((k,), bool)
+    chunks = _staged_chunks(arr, k)
+    n = len(chunks) * k
+    runs = []
+    for _ in range(3):
+        pipe.reset()
+        state = pipe.state
+        outs = []
+        t0 = time.perf_counter()
+        for c in chunks:
+            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
+                                        state, c, fv)
+            outs.append(track_outs)
+        jax.device_get(outs)
+        runs.append(n / (time.perf_counter() - t0))
+    _emit("17_ocsort_clip", sorted(runs)[1], frames=n,
+          method="median_of_3",
+          note="observation-centric motion tracker, no ReID stage")
+
+
+def config18_ocsort_trained(frames_n=288):
+    """OC-SORT under the REALISTIC trained-detector load (the config-9
+    scenario), MOTA-checked vs exact synthetic ground truth — the
+    three-way quality+speed comparison point against DeepSORT (config 9)
+    and ByteTrack (config 16) on the identical workload. Official
+    det_thresh=0.6 input gate (stricter than the others' floors)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pathlib import Path
+    from aicamera_tpu.eval import evaluate_mot
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+
+    root = Path(__file__).resolve().parent.parent
+    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
+    if not weights.exists():
+        print(json.dumps({"config": "18_ocsort_trained", "value": None,
+                          "note": "checkpoint missing — run "
+                                  "scripts/train_synthetic.py"}))
+        return
+    world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0), seed=4,
+                          speed=3.0)
+    frames, gt = [], []
+    for _ in range(frames_n):
+        f, b, ids, cls, v = world.step()
+        frames.append(f)
+        gt.append((b[v], ids[v]))
+    arr = np.stack(frames)
+
+    k = 96
+    pipe = TrackingPipeline(chunk_size=k, tracker="ocsort",
+                            yolo_weights=str(weights))
+    pipe.warm_up(arr.shape[1:3])
+    step = pipe._get_step(arr.shape[1:3], k)
+    fv = jnp.ones((k,), bool)
+    chunks = _staged_chunks(arr, k)
+    n = len(chunks) * k
+    runs = []
+    for _ in range(3):
+        pipe.reset()
+        state = pipe.state
+        outs = []
+        t0 = time.perf_counter()
+        for c in chunks:
+            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
+                                        state, c, fv)
+            outs.append(track_outs)
+        jax.device_get(outs)
+        runs.append(n / (time.perf_counter() - t0))
+
+    pipe.reset()
+    hyp = []
+    for res in pipe.process_frames(iter(list(arr[:96]))):
+        if res.tracks:
+            hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
+                        np.asarray([t[4] for t in res.tracks], np.int64)))
+        else:
+            hyp.append((np.zeros((0, 4), np.float32),
+                        np.zeros((0,), np.int64)))
+    mot = evaluate_mot(gt[5:96], hyp[5:96])
+    _emit("18_ocsort_trained", sorted(runs)[1], frames=n,
+          method="median_of_3", mota=round(mot.mota, 3),
+          motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          note="same workload as configs 9/16; det_thresh=0.6 gate")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
@@ -736,7 +838,8 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            9: config9_synthetic_trained, 10: config10_multistream_trained,
            11: config11_raw_detector, 12: config12_raw_reid,
            13: config13_yolov8x_4k, 14: config14_auto_input,
-           15: config15_bytetrack_clip, 16: config16_bytetrack_trained}
+           15: config15_bytetrack_clip, 16: config16_bytetrack_trained,
+           17: config17_ocsort_clip, 18: config18_ocsort_trained}
 
 
 def main():

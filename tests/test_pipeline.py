@@ -441,3 +441,76 @@ def test_bytetrack_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(s)),
                     jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+def test_ocsort_pipeline_runs_and_matches_facade():
+    """OC-SORT mode: the fused pipeline (no ReID stage) must agree
+    frame-by-frame with the OCSort facade replaying the pipeline's own
+    detection outputs. conf_threshold == det_thresh makes the emitted
+    detection lists a superset of what the scan consumed (the output gate
+    is >=, the tracker gate strictly >), and the facade's class +
+    det_thresh prefilter reconstructs exactly that eligible set in the
+    same order."""
+    from aicamera_tpu.core.ocsort import OCSortParams
+    from aicamera_tpu.ocsort_api import OCSort
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    op = OCSortParams(det_thresh=0.25, max_tracks=16, max_detections=8)
+    pipe = TrackingPipeline(chunk_size=4, input_shape=INPUT_HW,
+                            tracker="ocsort", ocsort_params=op,
+                            conf_threshold=op.det_thresh)
+    results = list(pipe.process_frames(iter(_frames(8, seed=3))))
+    assert [r.frame_index for r in results] == list(range(8))
+
+    facade = OCSort(det_thresh=0.25, max_tracks=16, max_detections=8)
+    for r in results:
+        n = len(r.det_boxes)
+        replay = facade.update(
+            r.det_boxes, r.det_scores,
+            r.det_labels, None) if n else facade.update(
+            np.zeros((0, 4)), np.zeros(0), np.zeros(0), None)
+        assert replay == r.tracks, f"frame {r.frame_index}"
+
+    # determinism of the fused ocsort step
+    pipe.reset()
+    again = list(pipe.process_frames(iter(_frames(8, seed=3))))
+    for a, b in zip(results, again):
+        np.testing.assert_array_equal(a.det_boxes, b.det_boxes)
+        assert a.tracks == b.tracks
+
+
+def test_ocsort_pipeline_has_no_reid_stage():
+    from aicamera_tpu.core.ocsort import OCSortParams
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    op = OCSortParams(max_tracks=16, max_detections=8)
+    pipe = TrackingPipeline(chunk_size=2, input_shape=INPUT_HW,
+                            tracker="ocsort", ocsort_params=op)
+    assert pipe.with_reid is False
+    assert pipe.scan_bucket == 0
+    # the NMS floor is NOT lowered: OC-SORT's strict det gate (0.6) sits
+    # above the default floor already
+    assert pipe._nms_score_floor == config.YOLO_NMS_SCORE_THRESHOLD
+    with pytest.raises(ValueError):
+        TrackingPipeline(ocsort_params=op)  # requires tracker=ocsort
+
+
+def test_ocsort_checkpoint_roundtrip(tmp_path):
+    from aicamera_tpu.core.ocsort import (OCSortDetections, OCSortParams,
+                                          init_state, step)
+    from aicamera_tpu.runtime.checkpoint import load_state, save_state
+    import jax.numpy as jnp
+
+    p = OCSortParams(max_tracks=16, max_detections=8)
+    s = init_state(p)
+    d = OCSortDetections(
+        xyxy=jnp.asarray([[10., 10., 40., 70.]] + [[0.] * 4] * 7),
+        score=jnp.asarray([0.9] + [0.0] * 7),
+        class_id=jnp.zeros((8,), jnp.int32),
+        valid=jnp.asarray([True] + [False] * 7))
+    s = step(s, d, p)
+    path = tmp_path / "oc_state.msgpack"
+    save_state(path, s)
+    restored = load_state(path, p)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s)),
+                    jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
