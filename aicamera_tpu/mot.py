@@ -202,6 +202,9 @@ def main(argv=None):
                     help="run the tracker (otherwise score existing results)")
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--iou", type=float, default=0.5)
+    ap.add_argument("--tracker", default="deepsort",
+                    choices=("deepsort", "bytetrack", "ocsort"),
+                    help="tracker core to run (--run mode)")
     args = ap.parse_args(argv)
 
     seqs = discover_sequences(args.data)
@@ -211,7 +214,7 @@ def main(argv=None):
 
     if args.run:
         from .runtime.pipeline import TrackingPipeline
-        pipeline = TrackingPipeline()
+        pipeline = TrackingPipeline(tracker=args.tracker)
         for seq in seqs:
             hyp = run_sequence(seq, pipeline, max_frames=args.max_frames)
             write_mot_file(out_dir / f"{seq.name}.txt", hyp)

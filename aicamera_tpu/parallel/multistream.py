@@ -26,6 +26,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import config
+from ..core import bytetrack as bt_core
+from ..core import ocsort as oc_core
 from ..core import state as core_state
 from ..core import tracker as core_tracker
 from ..core.state import Detections, TrackerParams
@@ -84,10 +86,36 @@ class MultiStreamPipeline:
                  yolo_weights: str | None = None,
                  reid_weights: str | None = None,
                  scan_bucket: int | None = 32,
-                 letterbox_auto: bool = False):
+                 letterbox_auto: bool = False,
+                 tracker: str = "deepsort",
+                 bytetrack_params: "bt_core.ByteTrackParams | None" = None,
+                 ocsort_params: "oc_core.OCSortParams | None" = None):
         self.n_streams = int(n_streams)
         self.frame_hw = tuple(frame_hw)
         self.mesh = mesh
+        # alternative tracker cores (same semantics as TrackingPipeline's
+        # ``tracker`` argument): motion-only, no ReID stage in the device
+        # program; ByteTrack additionally surfaces low-score boxes
+        self.tracker_kind = str(tracker)
+        if self.tracker_kind not in ("deepsort", "bytetrack", "ocsort"):
+            raise ValueError(f"tracker must be 'deepsort', 'bytetrack' or "
+                             f"'ocsort' (got {tracker})")
+        if bytetrack_params is not None and self.tracker_kind != "bytetrack":
+            raise ValueError("bytetrack_params requires tracker='bytetrack'")
+        if ocsort_params is not None and self.tracker_kind != "ocsort":
+            raise ValueError("ocsort_params requires tracker='ocsort'")
+        self.bytetrack_params = None
+        self.ocsort_params = None
+        if self.tracker_kind == "bytetrack":
+            self.bytetrack_params = bytetrack_params or bt_core.ByteTrackParams(
+                max_tracks=config.MAX_TRACKS,
+                max_detections=config.MAX_DETECTIONS)
+            scan_bucket = 0
+        elif self.tracker_kind == "ocsort":
+            self.ocsort_params = ocsort_params or oc_core.OCSortParams(
+                max_tracks=config.MAX_TRACKS,
+                max_detections=config.MAX_DETECTIONS)
+            scan_bucket = 0
         # capacity-bucketed time scan (see runtime/pipeline.py): only on a
         # single device — with a mesh, the fits predicate would reduce over
         # sharded states (a hot-path collective), and zero hot-path
@@ -121,10 +149,16 @@ class MultiStreamPipeline:
             feature_dim=config.REID_FEATURE_DIM)
         self._track_class_ids = jnp.asarray(
             config.CLASS_IDS_TO_TRACK, jnp.int32)
+        self._nms_score_floor = config.YOLO_NMS_SCORE_THRESHOLD
+        if self.tracker_kind == "bytetrack":
+            # BYTE's second association feeds on the low-score boxes other
+            # pipelines discard (see runtime/pipeline.py)
+            self._nms_score_floor = min(self._nms_score_floor,
+                                        self.bytetrack_params.low_thresh)
 
         # per-stream tracker states stacked on the leading stream axis
         states = jax.vmap(
-            lambda _: core_state.init_state(self.tracker_params)
+            lambda _: self._init_one_state()
         )(jnp.arange(self.n_streams))
         if mesh is not None:
             state_sharding = jax.tree.map(
@@ -149,11 +183,26 @@ class MultiStreamPipeline:
         self.states = states
         self._step, self._chunk_step = self._build_step()
 
+    def _init_one_state(self):
+        if self.tracker_kind == "bytetrack":
+            return bt_core.init_state(self.bytetrack_params)
+        if self.tracker_kind == "ocsort":
+            return oc_core.init_state(self.ocsort_params)
+        return core_state.init_state(self.tracker_params)
+
     def _build_step(self):
         spec = letterbox_spec(self.frame_hw, self.input_shape,
                               auto=self.letterbox_auto)
         p = self.tracker_params
-        n_det = p.max_detections
+        bytetrack = self.tracker_kind == "bytetrack"
+        ocsort = self.tracker_kind == "ocsort"
+        if bytetrack:
+            n_det = self.bytetrack_params.max_detections
+        elif ocsort:
+            n_det = self.ocsort_params.max_detections
+        else:
+            n_det = p.max_detections
+        with_reid = not (bytetrack or ocsort)
         n_crops = self.max_reid_crops
         s = self.n_streams
 
@@ -185,15 +234,62 @@ class MultiStreamPipeline:
                 return state, core_tracker.get_outputs(state)
             return per_stream_track
 
-        per_stream_track = make_per_stream_track(p)
+        def make_per_stream_track_motion(step_fn, make_dets, get_outs):
+            """Per-stream step for the motion-only cores (no features)."""
+            def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
+                                 frame_valid=None):
+                dets = make_dets(d_xyxy, d_conf, d_cls, d_valid)
+
+                def do(st):
+                    return step_fn(st, dets)
+
+                if frame_valid is None:
+                    state = do(state)
+                else:
+                    state = jax.lax.cond(frame_valid, do, lambda st: st,
+                                         state)
+                return state, get_outs(state)
+            return per_stream_track
+
+        if bytetrack:
+            pbt = self.bytetrack_params
+
+            def _bt_dets(d_xyxy, d_conf, d_cls, d_valid):
+                tlwh = jnp.concatenate(
+                    [d_xyxy[:, :2], d_xyxy[:, 2:] - d_xyxy[:, :2]], axis=-1)
+                return bt_core.ByteDetections(
+                    tlwh=tlwh, score=d_conf, class_id=d_cls, valid=d_valid)
+
+            per_stream_track = make_per_stream_track_motion(
+                lambda st, d: bt_core.step(st, d, pbt), _bt_dets,
+                bt_core.get_outputs)
+        elif ocsort:
+            poc = self.ocsort_params
+
+            def _oc_dets(d_xyxy, d_conf, d_cls, d_valid):
+                return oc_core.OCSortDetections(
+                    xyxy=d_xyxy, score=d_conf, class_id=d_cls, valid=d_valid)
+
+            per_stream_track = make_per_stream_track_motion(
+                lambda st, d: oc_core.step(st, d, poc), _oc_dets,
+                lambda st: oc_core.get_outputs(st, poc))
+        else:
+            per_stream_track = make_per_stream_track(p)
 
         def compact_dets(num, boxes, scores, labels):
             present = jnp.arange(boxes.shape[0]) < num
             det_valid = present & (scores >= self.conf_threshold)
             trackable = jnp.any(
                 labels[:, None] == self._track_class_ids[None, :], axis=1)
-            elig = det_valid & trackable & \
-                (scores >= self.min_detection_confidence)
+            if bytetrack:
+                elig = present & trackable & \
+                    (scores > self.bytetrack_params.low_thresh)
+            elif ocsort:
+                elig = present & trackable & \
+                    (scores > self.ocsort_params.det_thresh)
+            else:
+                elig = det_valid & trackable & \
+                    (scores >= self.min_detection_confidence)
             rank = jnp.cumsum(elig) - 1
             slot = jnp.where(elig & (rank < n_det), rank, n_det)
 
@@ -213,13 +309,17 @@ class MultiStreamPipeline:
             levels = self.yolo.apply(yolo_params, x)
             num, nboxes, nscores, nlabels = fused_decode_nms(
                 levels,
-                score_threshold=config.YOLO_NMS_SCORE_THRESHOLD,
+                score_threshold=self._nms_score_floor,
                 iou_threshold=self.nms_threshold,
                 top_k=config.YOLO_NMS_TOPK,
                 max_det=config.YOLO_MAX_DETECTIONS)
             boxes_f = jax.vmap(lambda bx: scale_boxes_back(bx, spec))(nboxes)
             d_xyxy, d_conf, d_cls, d_valid = jax.vmap(compact_dets)(
                 num, boxes_f, nscores, nlabels)
+
+            if not with_reid:
+                # motion-only cores: no crop/embed stage in the program
+                return d_xyxy, d_conf, d_cls, d_valid
 
             # load-adaptive crop bucketing (see runtime/pipeline.py): embed
             # only as many crop slots as the busiest frame needs. NOTE: with
@@ -276,7 +376,8 @@ class MultiStreamPipeline:
                 dets = dets + (frame_valid.swapaxes(0, 1),)
 
             def make_body(pp):
-                track = make_per_stream_track(pp)
+                track = (make_per_stream_track(pp) if with_reid
+                         else per_stream_track)  # motion cores ignore pp
 
                 def body(st, per_t):
                     return jax.vmap(track)(st, *per_t)
@@ -424,7 +525,7 @@ class MultiStreamPipeline:
         Host-side slice update — only call between dispatches (the serving
         worker does this when a stream slot is re-leased to a new tenant).
         """
-        fresh = core_state.init_state(self.tracker_params)
+        fresh = self._init_one_state()
         self.states = jax.tree.map(
             lambda full, f: full.at[i].set(f.astype(full.dtype)),
             self.states, fresh)

@@ -100,3 +100,61 @@ def test_full_pipeline_step_on_2d_mesh_matches_single_device():
     for a, b in zip(jax.tree.leaves(jax.device_get(sharded.states)),
                     jax.tree.leaves(jax.device_get(single.states))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("kind", ["bytetrack", "ocsort"])
+def test_multistream_motion_trackers_sharded_matches_single(kind):
+    """The motion-only cores (ByteTrack / OC-SORT) as vmapped multi-stream
+    tracker steps: the stream-sharded run must match the unsharded
+    single-device run bitwise, identical frames on two streams must yield
+    identical per-stream outputs, and the device program has no ReID
+    stage (the cores carry no appearance model)."""
+    from aicamera_tpu.parallel import MultiStreamPipeline, make_stream_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ virtual devices")
+    if kind == "bytetrack":
+        from aicamera_tpu.core.bytetrack import ByteTrackParams
+        kw = dict(tracker="bytetrack",
+                  bytetrack_params=ByteTrackParams(max_tracks=16,
+                                                   max_detections=8))
+    else:
+        from aicamera_tpu.core.ocsort import OCSortParams
+        kw = dict(tracker="ocsort",
+                  ocsort_params=OCSortParams(det_thresh=0.25, max_tracks=16,
+                                             max_detections=8))
+    base = dict(n_streams=2, frame_hw=(96, 128), input_shape=(128, 128),
+                **kw)
+    rng = np.random.RandomState(1)
+    one = rng.randint(0, 256, (2, 96, 128, 3), np.uint8)  # (K, H, W, 3)
+    frames = np.stack([one, one])                         # both streams equal
+
+    sharded = MultiStreamPipeline(mesh=make_stream_mesh(2), **base)
+    outs = sharded.step_chunk(frames)
+    jax.block_until_ready(outs)
+    outs = jax.device_get(outs)
+
+    single = MultiStreamPipeline(**base)
+    outs1 = jax.device_get(single.step_chunk(frames))
+
+    for a, b in zip(outs, outs1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(jax.device_get(sharded.states)),
+                    jax.tree.leaves(jax.device_get(single.states))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # identical frames -> identical independent per-stream results
+    for a in outs:
+        np.testing.assert_array_equal(np.asarray(a)[0], np.asarray(a)[1])
+
+
+def test_multistream_motion_trackers_param_validation():
+    from aicamera_tpu.core.bytetrack import ByteTrackParams
+    from aicamera_tpu.parallel import MultiStreamPipeline
+
+    with pytest.raises(ValueError):
+        MultiStreamPipeline(n_streams=2, frame_hw=(96, 128),
+                            tracker="nope")
+    with pytest.raises(ValueError):
+        MultiStreamPipeline(
+            n_streams=2, frame_hw=(96, 128),
+            bytetrack_params=ByteTrackParams())  # requires tracker=
