@@ -171,3 +171,39 @@ def splice_tracks(master: TrackerState, small: TrackerState) -> TrackerState:
         **{f: getattr(master, f).at[:t_small].set(getattr(small, f))
            for f in TRACK_AXIS_FIELDS})
     return out.replace(next_id=small.next_id, dropped=small.dropped)
+
+
+# --- generic slice/splice over any tracker-state family ----------------------
+# The three cores (DeepSORT TrackerState, ByteTrackState, OCSortState) share
+# the invariants the capacity-bucketed scan needs: every non-scalar field
+# carries the track axis leading, new tracks take the LOWEST free slots,
+# overflow shows up as a `dropped` increment, and get_outputs emits
+# canonical zeros on masked lanes. The scalar counters travel with
+# whichever state is "live".
+
+_SCALAR_STATE_FIELDS = frozenset(
+    {"next_id", "dropped", "frame_count", "frame_id"})
+
+
+def track_axis_field_names(state) -> tuple:
+    """Names of the per-track array fields of any tracker-state dataclass."""
+    return tuple(f.name for f in dataclasses.fields(state)
+                 if f.name not in _SCALAR_STATE_FIELDS)
+
+
+def slice_any_tracks(state, t_small: int):
+    """First ``t_small`` track slots of any core's state (see slice_tracks)."""
+    return state.replace(
+        **{f: getattr(state, f)[:t_small]
+           for f in track_axis_field_names(state)})
+
+
+def splice_any_tracks(master, small):
+    """Write a sliced state back into its full-capacity master (any core)."""
+    t_small = small.active.shape[0]
+    upd = {f: getattr(master, f).at[:t_small].set(getattr(small, f))
+           for f in track_axis_field_names(master)}
+    for f in _SCALAR_STATE_FIELDS:
+        if hasattr(master, f):
+            upd[f] = getattr(small, f)
+    return master.replace(**upd)

@@ -56,6 +56,70 @@ class FrameResult:
     tracks: list              # [(x1, y1, x2, y2, id, class_name, conf), ...]
 
 
+def _bucketed_time_scan(state, xs, make_body, params, t_small, k):
+    """Per-frame tracker scan at a reduced track capacity when all activity
+    fits, with exact high-slot-skip and mid-chunk-overflow fallbacks.
+
+    Generic over the three cores (DeepSORT / ByteTrack / OC-SORT): any
+    state whose non-scalar fields lead with the track axis, places new
+    tracks at the lowest free slots, counts overflow in ``dropped`` and
+    emits canonical zeros on masked output lanes (see
+    core/state.py::slice_any_tracks). ``make_body(params) -> scan body``;
+    the body must return 5-tuple outputs (boxes, ids, cls, conf, mask)
+    shaped (T, ...). The scan is throughput-bound in padded track capacity
+    (docs/ROOFLINE.md), so chunks whose live tracks fit in ``t_small``
+    slots run a sliced state and pay ~T_small/T of the cost; a ``dropped``
+    increment (the small table ran out of slots mid-chunk) triggers an
+    exact full-capacity rerun of the whole chunk.
+    """
+    if not (t_small and t_small < params.max_tracks):
+        return jax.lax.scan(make_body(params), state, xs)
+    import dataclasses as _dc
+    p_small = _dc.replace(params, max_tracks=t_small)
+    pad_t = params.max_tracks - t_small
+
+    def pad_outs(outs):
+        return tuple(
+            jnp.pad(a, ((0, 0), (0, pad_t)) + ((0, 0),) * (a.ndim - 2))
+            for a in outs)
+
+    def zero_outs():
+        tlbr_z = jnp.zeros((k, params.max_tracks, 4), jnp.float32)
+        i_z = jnp.zeros((k, params.max_tracks), jnp.int32)
+        return (tlbr_z, i_z, i_z, tlbr_z[..., 0],
+                jnp.zeros((k, params.max_tracks), jnp.bool_))
+
+    def small_pass(_):
+        small = core_state.slice_any_tracks(state, t_small)
+        s_small, outs = jax.lax.scan(make_body(p_small), small, xs)
+        return (core_state.splice_any_tracks(state, s_small),
+                pad_outs(outs), s_small.dropped)
+
+    def skip_small(_):
+        # a high slot is active: force the full pass below
+        return state, zero_outs(), state.dropped + 1
+
+    # headroom guard: near-boundary steady load with per-chunk churn would
+    # otherwise run the small scan, overflow, and pay the full rerun EVERY
+    # chunk (slower than unbucketed)
+    headroom = max(4, t_small // 4)
+    fits = (~jnp.any(state.active[t_small:]) &
+            (jnp.sum(state.active) <= t_small - headroom))
+    cand_state, cand_outs, cand_dropped = jax.lax.cond(
+        fits, small_pass, skip_small, None)
+    # any dropped increment means the small table ran out of slots
+    # mid-chunk (the full table would have placed those tracks)
+    use_full = cand_dropped > state.dropped
+
+    def full_pass(_):
+        return jax.lax.scan(make_body(params), state, xs)
+
+    def accept(_):
+        return cand_state, cand_outs
+
+    return jax.lax.cond(use_full, full_pass, accept, None)
+
+
 def _format_tracks(tlbr, ids, cls, conf, mask):
     out = []
     for b, i, c, s in zip(tlbr[mask], ids[mask], cls[mask], conf[mask]):
@@ -134,9 +198,9 @@ class TrackingPipeline:
         the NMS score floor drops to ``low_thresh`` to surface those
         boxes; ``conf_threshold`` still governs the *detection output*
         lists. OC-SORT consumes only detections above its strict
-        ``det_thresh`` (0.6). The capacity-bucketed scan only applies to
-        the DeepSORT core (the alternative scans carry no
-        gallery/cascade and are already cheap)."""
+        ``det_thresh`` (0.6). The capacity-bucketed scan applies to all
+        three cores (``_bucketed_time_scan``) — the per-frame scans are
+        throughput-bound in padded track capacity."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
         if self.tracker_kind not in ("deepsort", "bytetrack", "ocsort"):
@@ -153,13 +217,11 @@ class TrackingPipeline:
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
             with_reid = False
-            scan_bucket = 0
         elif self.tracker_kind == "ocsort":
             self.ocsort_params = ocsort_params or oc_core.OCSortParams(
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
             with_reid = False
-            scan_bucket = 0
         self.synthetic_load = int(synthetic_load)
         self.scan_bucket = int(scan_bucket or 0)
         if self.scan_bucket < 0:
@@ -352,42 +414,46 @@ class TrackingPipeline:
                 [d_xyxy[..., :2], d_xyxy[..., 2:] - d_xyxy[..., :2]], axis=-1)
 
             if bytetrack:
-                pbt = self.bytetrack_params
+                def make_scan_body_bt(pp):
+                    def scan_body_bt(st, per_frame):
+                        (f_tlwh, f_conf, f_cls, f_valid,
+                         f_frame_valid) = per_frame
+                        dets = bt_core.ByteDetections(
+                            tlwh=f_tlwh, score=f_conf, class_id=f_cls,
+                            valid=f_valid)
+                        st = jax.lax.cond(
+                            f_frame_valid,
+                            lambda s: bt_core.step(s, dets, pp),
+                            lambda s: s, st)
+                        return st, bt_core.get_outputs(st)
+                    return scan_body_bt
 
-                def scan_body_bt(st, per_frame):
-                    f_tlwh, f_conf, f_cls, f_valid, f_frame_valid = per_frame
-                    dets = bt_core.ByteDetections(
-                        tlwh=f_tlwh, score=f_conf, class_id=f_cls,
-                        valid=f_valid)
-                    st = jax.lax.cond(
-                        f_frame_valid,
-                        lambda s: bt_core.step(s, dets, pbt),
-                        lambda s: s, st)
-                    return st, bt_core.get_outputs(st)
-
-                state, track_outs = jax.lax.scan(
-                    scan_body_bt, state,
-                    (tlwh, d_conf, d_cls, d_valid, frame_valid))
+                state, track_outs = _bucketed_time_scan(
+                    state, (tlwh, d_conf, d_cls, d_valid, frame_valid),
+                    make_scan_body_bt, self.bytetrack_params,
+                    self.scan_bucket, k)
                 det_outs = (num, boxes_f, scores, labels, det_valid)
                 return state, det_outs, track_outs
 
             if ocsort:
-                poc = self.ocsort_params
+                def make_scan_body_oc(pp):
+                    def scan_body_oc(st, per_frame):
+                        (f_xyxy, f_conf, f_cls, f_valid,
+                         f_frame_valid) = per_frame
+                        dets = oc_core.OCSortDetections(
+                            xyxy=f_xyxy, score=f_conf, class_id=f_cls,
+                            valid=f_valid)
+                        st = jax.lax.cond(
+                            f_frame_valid,
+                            lambda s: oc_core.step(s, dets, pp),
+                            lambda s: s, st)
+                        return st, oc_core.get_outputs(st, pp)
+                    return scan_body_oc
 
-                def scan_body_oc(st, per_frame):
-                    f_xyxy, f_conf, f_cls, f_valid, f_frame_valid = per_frame
-                    dets = oc_core.OCSortDetections(
-                        xyxy=f_xyxy, score=f_conf, class_id=f_cls,
-                        valid=f_valid)
-                    st = jax.lax.cond(
-                        f_frame_valid,
-                        lambda s: oc_core.step(s, dets, poc),
-                        lambda s: s, st)
-                    return st, oc_core.get_outputs(st, poc)
-
-                state, track_outs = jax.lax.scan(
-                    scan_body_oc, state,
-                    (d_xyxy, d_conf, d_cls, d_valid, frame_valid))
+                state, track_outs = _bucketed_time_scan(
+                    state, (d_xyxy, d_conf, d_cls, d_valid, frame_valid),
+                    make_scan_body_oc, self.ocsort_params,
+                    self.scan_bucket, k)
                 det_outs = (num, boxes_f, scores, labels, det_valid)
                 return state, det_outs, track_outs
 
@@ -410,58 +476,8 @@ class TrackingPipeline:
 
             xs = (tlwh, d_conf, d_cls, d_feats, d_hasfeat, d_valid,
                   frame_valid)
-            t_small = self.scan_bucket
-            if t_small and t_small < p.max_tracks:
-                import dataclasses as _dc
-                p_small = _dc.replace(p, max_tracks=t_small)
-                pad_t = p.max_tracks - t_small
-
-                def pad_outs(outs):
-                    return tuple(
-                        jnp.pad(a, ((0, 0), (0, pad_t)) +
-                                ((0, 0),) * (a.ndim - 2)) for a in outs)
-
-                def zero_outs():
-                    tlbr_z = jnp.zeros((k, p.max_tracks, 4), jnp.float32)
-                    i_z = jnp.zeros((k, p.max_tracks), jnp.int32)
-                    return (tlbr_z, i_z, i_z, tlbr_z[..., 0],
-                            jnp.zeros((k, p.max_tracks), jnp.bool_))
-
-                def small_pass(_):
-                    small = core_state.slice_tracks(state, t_small)
-                    s_small, outs = jax.lax.scan(
-                        make_scan_body(p_small), small, xs)
-                    return (core_state.splice_tracks(state, s_small),
-                            pad_outs(outs), s_small.dropped)
-
-                def skip_small(_):
-                    # a high slot is active: force the full pass below
-                    return state, zero_outs(), state.dropped + 1
-
-                # headroom guard: near-boundary steady load with per-chunk
-                # churn would otherwise run the small scan, overflow, and
-                # pay the full rerun EVERY chunk (slower than unbucketed)
-                headroom = max(4, t_small // 4)
-                fits = (~jnp.any(state.active[t_small:]) &
-                        (jnp.sum(state.active) <= t_small - headroom))
-                cand_state, cand_outs, cand_dropped = jax.lax.cond(
-                    fits, small_pass, skip_small, None)
-                # any dropped increment means the small table ran out of
-                # slots mid-chunk (the full table would have placed those
-                # tracks) — recompute the chunk at full capacity
-                use_full = cand_dropped > state.dropped
-
-                def full_pass(_):
-                    return jax.lax.scan(make_scan_body(p), state, xs)
-
-                def accept(_):
-                    return cand_state, cand_outs
-
-                state, track_outs = jax.lax.cond(
-                    use_full, full_pass, accept, None)
-            else:
-                state, track_outs = jax.lax.scan(
-                    make_scan_body(p), state, xs)
+            state, track_outs = _bucketed_time_scan(
+                state, xs, make_scan_body, p, self.scan_bucket, k)
             # track_outs: (tlbr, ids, cls, conf, mask), each (K, T, ...)
             det_outs = (num, boxes_f, scores, labels, det_valid)
             return state, det_outs, track_outs

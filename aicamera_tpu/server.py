@@ -153,6 +153,9 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--max_latency_ms", type=float, default=30.0)
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--tracker", default="deepsort",
+                    choices=("deepsort", "bytetrack", "ocsort"),
+                    help="tracker core behind the service")
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -162,7 +165,8 @@ def main(argv=None):
 
     server = TrackingHTTPServer(host=args.host, port=args.port,
                                 chunk_size=args.chunk,
-                                max_latency_ms=args.max_latency_ms)
+                                max_latency_ms=args.max_latency_ms,
+                                tracker=args.tracker)
     print(f"AICamera-TPU tracking server on http://{server.host}:"
           f"{server.port} (chunk={args.chunk}, "
           f"latency window={args.max_latency_ms}ms)")

@@ -411,7 +411,6 @@ def test_bytetrack_pipeline_has_no_reid_stage():
     pipe = TrackingPipeline(chunk_size=2, input_shape=INPUT_HW,
                             tracker="bytetrack", bytetrack_params=bp)
     assert pipe.with_reid is False
-    assert pipe.scan_bucket == 0
     # NMS floor lowered to the BYTE low-score threshold
     assert pipe._nms_score_floor == bp.low_thresh
     # deepsort pipelines are untouched
@@ -486,7 +485,6 @@ def test_ocsort_pipeline_has_no_reid_stage():
     pipe = TrackingPipeline(chunk_size=2, input_shape=INPUT_HW,
                             tracker="ocsort", ocsort_params=op)
     assert pipe.with_reid is False
-    assert pipe.scan_bucket == 0
     # the NMS floor is NOT lowered: OC-SORT's strict det gate (0.6) sits
     # above the default floor already
     assert pipe._nms_score_floor == config.YOLO_NMS_SCORE_THRESHOLD

@@ -188,3 +188,54 @@ def test_get_outputs_masked_lanes_are_canonical_zeros():
     assert not bool(mask[20])
     assert np.all(np.asarray(tlbr[20]) == 0)
     assert int(ids[20]) == 0 and float(conf[20]) == 0.0
+
+
+# --- alternative tracker cores ---------------------------------------------
+
+def _run_pipeline_kind(kind, scan_bucket, synthetic_load, n_chunks=3,
+                       chunk=4):
+    """Same drive as _run_pipeline, with a motion-only core. OC-SORT's
+    det_thresh drops to 0.4 so the synthetic conf-0.5 boxes pass its
+    strict input gate."""
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    if kind == "bytetrack":
+        from aicamera_tpu.core.bytetrack import ByteTrackParams
+        kw = dict(tracker="bytetrack",
+                  bytetrack_params=ByteTrackParams(max_tracks=64,
+                                                   max_detections=16))
+    else:
+        from aicamera_tpu.core.ocsort import OCSortParams
+        kw = dict(tracker="ocsort",
+                  ocsort_params=OCSortParams(det_thresh=0.4, max_tracks=64,
+                                             max_detections=16))
+    pipe = TrackingPipeline(chunk_size=chunk, input_shape=(128, 128),
+                            synthetic_load=synthetic_load,
+                            scan_bucket=scan_bucket, **kw)
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (n_chunks * chunk, 96, 128, 3), np.uint8)
+    step = pipe._get_step((96, 128), chunk)
+    fv = jnp.ones((chunk,), bool)
+    state = pipe.state
+    outs = []
+    for i in range(0, len(frames), chunk):
+        state, det_outs, track_outs = step(
+            pipe.yolo_params, pipe.reid_params, state,
+            jnp.asarray(frames[i:i + chunk]), fv)
+        outs.append(jax.device_get(track_outs))
+    return jax.device_get(state), outs
+
+
+@pytest.mark.parametrize("kind", ["bytetrack", "ocsort"])
+def test_bucketed_motion_core_small_path_equals_full(kind):
+    """6 synthetic tracks, bucket 16: the small path runs every chunk —
+    bitwise equality for the generic bucketed scan on the motion cores."""
+    _assert_runs_equal(_run_pipeline_kind(kind, 16, 6),
+                       _run_pipeline_kind(kind, 0, 6))
+
+
+@pytest.mark.parametrize("kind", ["bytetrack", "ocsort"])
+def test_bucketed_motion_core_overflow_and_highslot_equal_full(kind):
+    """8 synthetic tracks, bucket 4: mid-chunk overflow rerun, then
+    active-high-slot skip — both fallback paths, bitwise."""
+    _assert_runs_equal(_run_pipeline_kind(kind, 4, 8),
+                       _run_pipeline_kind(kind, 0, 8))
