@@ -64,6 +64,16 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                              "tracking: OCM momentum bonus, last-"
                              "observation recovery, re-update on revival; "
                              "no ReID stage).")
+    parser.add_argument("--gallery_strategy", type=str, default="fifo",
+                        choices=("fifo", "ema"),
+                        help="DeepSORT appearance memory: 'fifo' ring of "
+                             "raw features (reference parity) or 'ema' — "
+                             "one StrongSORT-style exponential-moving-"
+                             "average embedding per track (cheaper, more "
+                             "drift-robust on long occlusions).")
+    parser.add_argument("--ema_alpha", type=float, default=0.9,
+                        help="EMA blend factor for --gallery_strategy ema "
+                             "(higher = slower-moving appearance bank).")
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")
@@ -121,6 +131,22 @@ def main(argv=None):
 
     # --- pipeline --------------------------------------------------------------
     print("Initializing TPU tracking pipeline...")
+    extra = {}
+    if args.input_shape:
+        extra["input_shape"] = (args.input_shape, args.input_shape)
+    if args.tracker == "deepsort" and args.gallery_strategy == "ema":
+        from .core.state import TrackerParams
+        extra["tracker_params"] = TrackerParams(
+            max_cosine_distance=config.DEEPSORT_MAX_DIST,
+            nn_budget=1,  # EMA bank occupies one gallery slot
+            max_iou_distance=config.DEEPSORT_MAX_IOU_DISTANCE,
+            max_age=config.DEEPSORT_MAX_AGE,
+            n_init=config.DEEPSORT_N_INIT,
+            max_tracks=config.MAX_TRACKS,
+            max_detections=config.MAX_DETECTIONS,
+            feature_dim=config.REID_FEATURE_DIM,
+            ema_alpha=args.ema_alpha,
+        )
     pipeline = TrackingPipeline(
         variant=args.variant,
         conf_threshold=args.conf_thresh,
@@ -129,8 +155,7 @@ def main(argv=None):
         chunk_size=chunk,
         letterbox_auto=args.auto_input,
         tracker=args.tracker,
-        **({"input_shape": (args.input_shape, args.input_shape)}
-           if args.input_shape else {}),
+        **extra,
     )
     print("Compiling fused detect+track step (cached after first run)...")
     secs = pipeline.warm_up((reader.height, reader.width))

@@ -31,6 +31,18 @@ class TrackerParams:
 
     Defaults mirror reference ``src/config.py:23-29`` / ``TrackerCore``
     defaults (tracker_core.py:18-38).
+
+    ``ema_alpha`` selects the appearance-gallery strategy. 0.0 (default)
+    is the reference's FIFO ring of up to ``nn_budget`` raw features per
+    track (track.py:70-74). A value in (0, 1) enables a StrongSORT-style
+    exponential-moving-average appearance bank instead: each track keeps
+    ONE L2-normalized embedding, updated as
+    ``e = normalize(alpha * e + (1 - alpha) * normalize(f))`` on every
+    matched feature — the "smarter gallery management" item on the
+    reference's future-enhancements list (README.md). With EMA enabled,
+    set ``nn_budget=1`` to shrink the gallery tensor (the bank only ever
+    occupies slot 0; the min-over-gallery cost then reduces to plain
+    cosine distance against the bank).
     """
     max_cosine_distance: float = 0.2
     nn_budget: int = 100
@@ -40,6 +52,13 @@ class TrackerParams:
     max_tracks: int = 128
     max_detections: int = 64
     feature_dim: int = 512
+    ema_alpha: float = 0.0
+
+    def __post_init__(self):
+        if not (0.0 <= self.ema_alpha < 1.0):
+            raise ValueError(
+                f"ema_alpha must be in [0, 1) (got {self.ema_alpha}); "
+                "0 disables the EMA bank (FIFO ring)")
 
 
 @struct.dataclass

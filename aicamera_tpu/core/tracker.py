@@ -144,17 +144,38 @@ def update(state: TrackerState, dets: Detections,
         mean = jnp.where(matched[:, None], up_mean, state.mean)
         cov = jnp.where(matched[:, None, None], up_cov, state.cov)
 
-        # Gallery append (FIFO ring, reference track.py:70-74).
         add_feat = matched & dets.has_feature[det_idx]
-        pos = state.gallery_next
         new_feats = dets.feature[det_idx]  # (T, D)
-        cur = state.gallery[rows, pos]
-        gallery = state.gallery.at[rows, pos].set(
-            jnp.where(add_feat[:, None], new_feats, cur))
-        gallery_count = jnp.where(
-            add_feat, jnp.minimum(state.gallery_count + 1, g),
-            state.gallery_count)
-        gallery_next = jnp.where(add_feat, (pos + 1) % g, state.gallery_next)
+        if params.ema_alpha > 0.0:
+            # StrongSORT-style EMA appearance bank: one normalized
+            # embedding per track in gallery slot 0,
+            # e = normalize(a*e + (1-a)*normalize(f)). First feature
+            # (count == 0) initializes the bank directly.
+            a = jnp.float32(params.ema_alpha)
+            f_n = new_feats / jnp.maximum(
+                jnp.linalg.norm(new_feats, axis=-1, keepdims=True), 1e-7)
+            cur = state.gallery[:, 0]
+            blend = a * cur + (1.0 - a) * f_n
+            blend = blend / jnp.maximum(
+                jnp.linalg.norm(blend, axis=-1, keepdims=True), 1e-7)
+            ema = jnp.where((state.gallery_count > 0)[:, None], blend, f_n)
+            gallery = state.gallery.at[:, 0].set(
+                jnp.where(add_feat[:, None], ema, cur))
+            gallery_count = jnp.where(
+                add_feat, jnp.maximum(state.gallery_count, 1),
+                state.gallery_count)
+            gallery_next = state.gallery_next
+        else:
+            # Gallery append (FIFO ring, reference track.py:70-74).
+            pos = state.gallery_next
+            cur = state.gallery[rows, pos]
+            gallery = state.gallery.at[rows, pos].set(
+                jnp.where(add_feat[:, None], new_feats, cur))
+            gallery_count = jnp.where(
+                add_feat, jnp.minimum(state.gallery_count + 1, g),
+                state.gallery_count)
+            gallery_next = jnp.where(add_feat, (pos + 1) % g,
+                                     state.gallery_next)
         return mean, cov, gallery, gallery_count, gallery_next
 
     def no_matches(_):
@@ -235,8 +256,14 @@ def update(state: TrackerState, dets: Detections,
         # (N, G, D) zero tensor and scattering full gallery rows (G*D
         # floats per detection) every frame.
         seed = dets.has_feature
+        seed_feat = dets.feature
+        if params.ema_alpha > 0.0:
+            # The EMA bank lives in normalized space; normalize the seed so
+            # the first blend in `with_matches` starts from a unit vector.
+            seed_feat = seed_feat / jnp.maximum(
+                jnp.linalg.norm(seed_feat, axis=-1, keepdims=True), 1e-7)
         gallery = gallery.at[slot_for_det, 0].set(
-            jnp.where(seed[:, None], dets.feature, 0.0).astype(gallery.dtype),
+            jnp.where(seed[:, None], seed_feat, 0.0).astype(gallery.dtype),
             mode="drop")
         gallery_count = scatter(gallery_count, seed.astype(jnp.int32))
         gallery_next = scatter(gallery_next, seed.astype(jnp.int32) % g)

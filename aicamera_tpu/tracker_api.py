@@ -158,7 +158,9 @@ class DeepSORT:
                  max_tracks: int = config.MAX_TRACKS,
                  max_detections: int = config.MAX_DETECTIONS,
                  max_reid_crops: int = config.MAX_REID_CROPS,
-                 capture_features: bool = False):
+                 capture_features: bool = False,
+                 gallery_strategy: str = "fifo",
+                 ema_alpha: float = 0.9):
         """Deviation from the reference: ``nn_budget=None`` means an
         unlimited feature gallery there (tracker_core.py:20), but the
         fixed-shape device state needs a static ring size, so ``None`` is
@@ -171,8 +173,26 @@ class DeepSORT:
         features (``last_tlwh/last_conf/last_class_id/last_features/
         last_has_feature``, all length ``len(keep)``), so an external
         oracle (e.g. the reference's TrackerCore) can be driven with
-        bit-identical detections — used by scripts/clip_parity.py."""
+        bit-identical detections — used by scripts/clip_parity.py.
+
+        ``gallery_strategy`` selects appearance-memory management:
+        ``"fifo"`` (default) is the reference's ring of up to
+        ``nn_budget`` raw features per track (track.py:70-74);
+        ``"ema"`` keeps one StrongSORT-style exponential-moving-average
+        embedding per track (blend factor ``ema_alpha``), the "smarter
+        gallery management" enhancement from the reference's README
+        future-work list — cheaper (gallery shrinks to one slot) and
+        more drift-robust on long occlusions."""
         enable_persistent_cache()
+        if gallery_strategy not in ("fifo", "ema"):
+            raise ValueError(
+                f"gallery_strategy must be 'fifo' or 'ema' "
+                f"(got {gallery_strategy!r})")
+        use_ema = gallery_strategy == "ema"
+        if use_ema and not (0.0 < ema_alpha < 1.0):
+            raise ValueError(
+                f"ema_alpha must be in (0, 1) for the EMA gallery "
+                f"(got {ema_alpha})")
         if nn_budget is None:
             import warnings
             warnings.warn(
@@ -182,13 +202,16 @@ class DeepSORT:
                 "to choose the ring size.", stacklevel=2)
         self.params = TrackerParams(
             max_cosine_distance=max_cosine_distance,
-            nn_budget=nn_budget or 100,
+            # The EMA bank only ever occupies gallery slot 0 — shrink the
+            # (T, G, D) gallery tensor to one slot.
+            nn_budget=1 if use_ema else (nn_budget or 100),
             max_iou_distance=max_iou_distance,
             max_age=max_age,
             n_init=n_init,
             max_tracks=max_tracks,
             max_detections=max_detections,
             feature_dim=config.REID_FEATURE_DIM,
+            ema_alpha=float(ema_alpha) if use_ema else 0.0,
         )
         self.min_detection_confidence = float(min_detection_confidence)
         self.max_reid_crops = int(max_reid_crops)
@@ -203,7 +226,8 @@ class DeepSORT:
         print("DeepSORT Tracker initialized (TPU/XLA).")
         print(f"  TrackerCore Params: CosDist={max_cosine_distance}, "
               f"IoUDist={max_iou_distance}, MaxAge={max_age}, NInit={n_init}, "
-              f"NNBudget={nn_budget}")
+              f"NNBudget={nn_budget}, Gallery={gallery_strategy}"
+              + (f"(alpha={ema_alpha})" if use_ema else ""))
 
     def reset(self):
         self.state = core_state.init_state(self.params)
