@@ -831,6 +831,87 @@ def config18_ocsort_trained(frames_n=288):
           note="same workload as configs 9/16; det_thresh=0.6 gate")
 
 
+def config19_ema_gallery_trained(frames_n=288):
+    """DeepSORT with the EMA appearance bank (gallery_strategy='ema') on
+    the config-9 REALISTIC workload — quantifies both sides of the
+    StrongSORT-style gallery: speed (the (T,G,N,D) min-over-gallery
+    einsum collapses to G=1 and the ring scatter disappears from the
+    scan) and quality (MOTA/IDSW vs the same exact ground truth as
+    configs 9/16/18; FIFO ring is the reference-parity baseline)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pathlib import Path
+    from aicamera_tpu import config as cfg
+    from aicamera_tpu.core.state import TrackerParams
+    from aicamera_tpu.eval import evaluate_mot
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+
+    root = Path(__file__).resolve().parent.parent
+    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
+    reid_weights = root / "models" / "reid" / \
+        "deepsort_reid_synthetic.msgpack"
+    if not weights.exists():
+        print(json.dumps({"config": "19_ema_gallery_trained", "value": None,
+                          "note": "checkpoint missing — run "
+                                  "scripts/train_synthetic.py"}))
+        return
+    world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0), seed=4,
+                          speed=3.0)
+    frames, gt = [], []
+    for _ in range(frames_n):
+        f, b, ids, cls, v = world.step()
+        frames.append(f)
+        gt.append((b[v], ids[v]))
+    arr = np.stack(frames)
+
+    params = TrackerParams(
+        max_cosine_distance=cfg.DEEPSORT_MAX_DIST,
+        nn_budget=1,  # the EMA bank occupies one gallery slot
+        max_iou_distance=cfg.DEEPSORT_MAX_IOU_DISTANCE,
+        max_age=cfg.DEEPSORT_MAX_AGE, n_init=cfg.DEEPSORT_N_INIT,
+        max_tracks=cfg.MAX_TRACKS, max_detections=cfg.MAX_DETECTIONS,
+        feature_dim=cfg.REID_FEATURE_DIM, ema_alpha=0.9)
+    k = 96
+    pipe = TrackingPipeline(
+        chunk_size=k, yolo_weights=str(weights),
+        reid_weights=str(reid_weights) if reid_weights.exists() else None,
+        tracker_params=params)
+    pipe.warm_up(arr.shape[1:3])
+    step = pipe._get_step(arr.shape[1:3], k)
+    fv = jnp.ones((k,), bool)
+    chunks = _staged_chunks(arr, k)
+    n = len(chunks) * k
+    runs = []
+    for _ in range(3):
+        pipe.reset()
+        state = pipe.state
+        outs = []
+        t0 = time.perf_counter()
+        for c in chunks:
+            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
+                                        state, c, fv)
+            outs.append(track_outs)
+        jax.device_get(outs)
+        runs.append(n / (time.perf_counter() - t0))
+
+    pipe.reset()
+    hyp = []
+    for res in pipe.process_frames(iter(list(arr[:96]))):
+        if res.tracks:
+            hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
+                        np.asarray([t[4] for t in res.tracks], np.int64)))
+        else:
+            hyp.append((np.zeros((0, 4), np.float32),
+                        np.zeros((0,), np.int64)))
+    mot = evaluate_mot(gt[5:96], hyp[5:96])
+    _emit("19_ema_gallery_trained", sorted(runs)[1], frames=n,
+          method="median_of_3", mota=round(mot.mota, 3),
+          motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          note="config 9 workload with gallery_strategy=ema alpha=0.9")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
@@ -839,7 +920,8 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            11: config11_raw_detector, 12: config12_raw_reid,
            13: config13_yolov8x_4k, 14: config14_auto_input,
            15: config15_bytetrack_clip, 16: config16_bytetrack_trained,
-           17: config17_ocsort_clip, 18: config18_ocsort_trained}
+           17: config17_ocsort_clip, 18: config18_ocsort_trained,
+           19: config19_ema_gallery_trained}
 
 
 def main():
