@@ -136,6 +136,26 @@ def test_facade_ema_kwargs():
         DeepSORT(gallery_strategy="ema", ema_alpha=1.5)
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_ema_sliced_core_equals_full_core(seed):
+    """Capacity slicing (scan_bucket) must carry the EMA bank bitwise:
+    the first T_SMALL slots of a full-capacity EMA run equal the sliced
+    run exactly (the blended gallery write lands in sliced rows)."""
+    import dataclasses
+    from aicamera_tpu.core.state import slice_tracks
+    from test_scan_bucket import P_FULL, T_SMALL, _step, _tree_equal
+    from test_tracker_differential import random_frames
+    p_full = dataclasses.replace(P_FULL, nn_budget=1, ema_alpha=ALPHA)
+    p_small = dataclasses.replace(p_full, max_tracks=T_SMALL)
+    s_full = init_state(p_full)
+    s_small = init_state(p_small)
+    for dets in random_frames(seed):
+        s_full = _step(s_full, dets, p_full)
+        s_small = _step(s_small, dets, p_small)
+        assert not np.any(np.asarray(s_full.active)[T_SMALL:])
+        _tree_equal(slice_tracks(s_full, T_SMALL), s_small)
+
+
 def test_fifo_default_unchanged():
     """ema_alpha=0 keeps the reference FIFO ring: gallery_count grows and
     entries are the raw features."""

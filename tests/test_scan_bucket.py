@@ -87,10 +87,13 @@ def test_splice_roundtrip():
 
 # --- pipeline level --------------------------------------------------------
 
-def _run_pipeline(scan_bucket, synthetic_load, n_chunks=3, chunk=4):
+def _run_pipeline(scan_bucket, synthetic_load, n_chunks=3, chunk=4,
+                  ema_alpha=0.0):
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    tp = TrackerParams(max_tracks=64, max_detections=16, nn_budget=4,
-                       max_age=10, n_init=2, feature_dim=512)
+    tp = TrackerParams(max_tracks=64, max_detections=16,
+                       nn_budget=1 if ema_alpha else 4,
+                       max_age=10, n_init=2, feature_dim=512,
+                       ema_alpha=ema_alpha)
     pipe = TrackingPipeline(chunk_size=chunk, input_shape=(128, 128),
                             tracker_params=tp, max_reid_crops=4,
                             synthetic_load=synthetic_load,
@@ -134,13 +137,15 @@ def test_bucketed_pipeline_overflow_and_highslot_paths_equal_full():
 # --- multistream -----------------------------------------------------------
 
 def _run_multistream(scan_bucket, n_chunks=2, chunk=3, streams=2,
-                     max_detections=16):
+                     max_detections=16, ema_alpha=0.0):
     """Zeroed conf thresholds let the seeded random-weight detector emit
     real (deterministic) detections, so tracks initiate and the scan does
     genuine lifecycle work without trained checkpoints."""
     from aicamera_tpu.parallel import MultiStreamPipeline
     tp = TrackerParams(max_tracks=64, max_detections=max_detections,
-                       nn_budget=4, max_age=10, n_init=2, feature_dim=512)
+                       nn_budget=1 if ema_alpha else 4,
+                       max_age=10, n_init=2, feature_dim=512,
+                       ema_alpha=ema_alpha)
     pipe = MultiStreamPipeline(
         n_streams=streams, frame_hw=(96, 128), input_shape=(128, 128),
         tracker_params=tp, max_reid_crops=4, conf_threshold=0.0,
@@ -188,6 +193,26 @@ def test_get_outputs_masked_lanes_are_canonical_zeros():
     assert not bool(mask[20])
     assert np.all(np.asarray(tlbr[20]) == 0)
     assert int(ids[20]) == 0 and float(conf[20]) == 0.0
+
+
+# --- EMA gallery through the bucketed paths ---------------------------------
+
+def test_bucketed_pipeline_ema_equals_full():
+    """EMA appearance bank (gallery_strategy='ema') through the bucketed
+    scan: slicing must carry the single-slot EMA gallery bitwise (both the
+    blended write and the gallery_count==1 invariant live in sliced rows)."""
+    _assert_runs_equal(_run_pipeline(scan_bucket=16, synthetic_load=6,
+                                     ema_alpha=0.9),
+                       _run_pipeline(scan_bucket=0, synthetic_load=6,
+                                     ema_alpha=0.9))
+
+
+def test_bucketed_multistream_ema_equals_full():
+    """EMA bank under the vmapped multistream scan + capacity bucketing."""
+    a = _run_multistream(scan_bucket=24, max_detections=8, ema_alpha=0.9)
+    b = _run_multistream(scan_bucket=0, max_detections=8, ema_alpha=0.9)
+    assert np.asarray(a[0].active).sum() > 0
+    _assert_runs_equal(a, b)
 
 
 # --- alternative tracker cores ---------------------------------------------
