@@ -18,9 +18,10 @@
  16. ByteTrack under the realistic trained load, MOTA-checked (vs config 9)
  17. OC-SORT on the clip (observation-centric tracker, no ReID stage)
  18. OC-SORT under the realistic trained load, MOTA-checked (vs 9/16)
+ 19. DeepSORT with the EMA appearance bank (vs config 9's FIFO ring)
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
-        python benchmarks/run_configs.py --all
+        python benchmarks/run_configs.py --all [--out results.jsonl]
 
 Each config prints one JSON line. Frames are staged to device HBM before
 the timed region (the reference's FPS accounting likewise excludes video
@@ -56,9 +57,16 @@ def _load_clip(n: int | None = None, hw=None):
     return np.stack(frames)
 
 
+_OUT_PATH: Path | None = None
+
+
 def _emit(name, fps, unit="fps", **extra):
-    print(json.dumps({"config": name, "value": round(fps, 1), "unit": unit,
-                      **extra}))
+    line = json.dumps({"config": name, "value": round(fps, 1), "unit": unit,
+                       **extra})
+    print(line)
+    if _OUT_PATH is not None:
+        with open(_OUT_PATH, "a") as f:
+            f.write(line + "\n")
 
 
 def config1_detect_cpu():
@@ -931,7 +939,12 @@ def main():
     ap.add_argument("--mesh", type=str, default=None,
                     help="SxM ('stream','model') mesh for config 5, "
                          "e.g. 2x4 (tensor parallelism).")
+    ap.add_argument("--out", type=str, default=None,
+                    help="also append each result JSON line to this file")
     args = ap.parse_args()
+    global _OUT_PATH
+    if args.out:
+        _OUT_PATH = Path(args.out)
     targets = sorted(CONFIGS) if args.all else [args.config or 3]
     for t in targets:
         if t == 1 and len(targets) > 1:
@@ -939,8 +952,10 @@ def main():
             # this process once other configs have touched the TPU —
             # isolate it (also avoids two TPU-attached processes).
             import subprocess
-            subprocess.run([sys.executable, __file__, "--config", "1"],
-                           check=False)
+            cmd = [sys.executable, __file__, "--config", "1"]
+            if args.out:
+                cmd += ["--out", args.out]
+            subprocess.run(cmd, check=False)
         elif t == 5 and args.mesh:
             config5_yolov8m_1080p(mesh_spec=args.mesh)
         else:
