@@ -226,3 +226,23 @@ def splice_any_tracks(master, small):
         if hasattr(master, f):
             upd[f] = getattr(small, f)
     return master.replace(**upd)
+
+
+def slice_stream_tracks(states, t_small: int):
+    """slice_any_tracks for stacked per-stream states: fields are
+    (S, T, ...) with the track axis second (parallel/multistream.py)."""
+    return states.replace(
+        **{f: getattr(states, f)[:, :t_small]
+           for f in track_axis_field_names(states)})
+
+
+def splice_stream_tracks(master, small):
+    """splice_any_tracks for stacked per-stream states (scalar counters
+    are (S,) under the stream vmap and travel with the live state)."""
+    t_small = small.active.shape[1]
+    upd = {f: getattr(master, f).at[:, :t_small].set(getattr(small, f))
+           for f in track_axis_field_names(master)}
+    for f in _SCALAR_STATE_FIELDS:
+        if hasattr(master, f):
+            upd[f] = getattr(small, f)
+    return master.replace(**upd)

@@ -101,13 +101,18 @@ class YOLODetector:
             self._steps[key] = call
             return call
         spec = letterbox_spec(key, self.input_shape)
+        # The NMS pre-filter follows conf_threshold below the default 0.25
+        # floor so low-score recipes (e.g. conf_threshold=0.1 feeding
+        # ByteTrack's BYTE stage) actually surface those boxes; at the
+        # default conf (0.5) this is exactly the reference's 0.25 floor.
+        nms_floor = min(config.YOLO_NMS_SCORE_THRESHOLD, self.conf_threshold)
 
         def step(params, frame_u8):
             x = preprocess_yolo(frame_u8, spec, out_dtype=self._dtype)
             levels = self.model.apply(params, x)
             num, nboxes, nscores, nlabels = fused_decode_nms(
                 levels,
-                score_threshold=config.YOLO_NMS_SCORE_THRESHOLD,
+                score_threshold=nms_floor,
                 iou_threshold=self.nms_threshold,
                 top_k=config.YOLO_NMS_TOPK,
                 max_det=config.YOLO_MAX_DETECTIONS)
@@ -176,12 +181,14 @@ class YOLODetector:
         conf_t, nms_t = self.conf_threshold, self.nms_threshold
         params = self.params
 
+        nms_floor = min(config.YOLO_NMS_SCORE_THRESHOLD, conf_t)
+
         def step(frame_u8):
             x = preprocess_yolo(frame_u8, spec, out_dtype=dtype)
             levels = model.apply(params, x)
             num, nboxes, nscores, nlabels = fused_decode_nms(
                 levels,
-                score_threshold=config.YOLO_NMS_SCORE_THRESHOLD,
+                score_threshold=nms_floor,
                 iou_threshold=nms_t,
                 top_k=config.YOLO_NMS_TOPK,
                 max_det=config.YOLO_MAX_DETECTIONS)

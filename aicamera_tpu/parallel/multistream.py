@@ -110,12 +110,10 @@ class MultiStreamPipeline:
             self.bytetrack_params = bytetrack_params or bt_core.ByteTrackParams(
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
-            scan_bucket = 0
         elif self.tracker_kind == "ocsort":
             self.ocsort_params = ocsort_params or oc_core.OCSortParams(
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
-            scan_bucket = 0
         # capacity-bucketed time scan (see runtime/pipeline.py): only on a
         # single device — with a mesh, the fits predicate would reduce over
         # sharded states (a hot-path collective), and zero hot-path
@@ -155,6 +153,11 @@ class MultiStreamPipeline:
             # pipelines discard (see runtime/pipeline.py)
             self._nms_score_floor = min(self._nms_score_floor,
                                         self.bytetrack_params.low_thresh)
+        elif self.tracker_kind == "ocsort":
+            # a sub-0.25 det_thresh must reach the core's own strict gate
+            # (see runtime/pipeline.py)
+            self._nms_score_floor = min(self._nms_score_floor,
+                                        self.ocsort_params.det_thresh)
 
         # per-stream tracker states stacked on the leading stream axis
         states = jax.vmap(
@@ -234,47 +237,53 @@ class MultiStreamPipeline:
                 return state, core_tracker.get_outputs(state)
             return per_stream_track
 
-        def make_per_stream_track_motion(step_fn, make_dets, get_outs):
-            """Per-stream step for the motion-only cores (no features)."""
+        def make_per_stream_track_motion(pp, step_fn, make_dets, get_outs):
+            """Per-stream step for the motion-only cores (no features).
+            Parameterized by ``pp`` (like make_per_stream_track) so the
+            capacity-bucketed scan can rebuild it at a reduced
+            ``max_tracks``."""
             def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
                                  frame_valid=None):
                 dets = make_dets(d_xyxy, d_conf, d_cls, d_valid)
 
                 def do(st):
-                    return step_fn(st, dets)
+                    return step_fn(st, dets, pp)
 
                 if frame_valid is None:
                     state = do(state)
                 else:
                     state = jax.lax.cond(frame_valid, do, lambda st: st,
                                          state)
-                return state, get_outs(state)
+                return state, get_outs(state, pp)
             return per_stream_track
 
         if bytetrack:
-            pbt = self.bytetrack_params
-
             def _bt_dets(d_xyxy, d_conf, d_cls, d_valid):
                 tlwh = jnp.concatenate(
                     [d_xyxy[:, :2], d_xyxy[:, 2:] - d_xyxy[:, :2]], axis=-1)
                 return bt_core.ByteDetections(
                     tlwh=tlwh, score=d_conf, class_id=d_cls, valid=d_valid)
 
-            per_stream_track = make_per_stream_track_motion(
-                lambda st, d: bt_core.step(st, d, pbt), _bt_dets,
-                bt_core.get_outputs)
-        elif ocsort:
-            poc = self.ocsort_params
+            def make_track(pp):
+                return make_per_stream_track_motion(
+                    pp, bt_core.step, _bt_dets,
+                    lambda st, _pp: bt_core.get_outputs(st))
 
+            core_params = self.bytetrack_params
+        elif ocsort:
             def _oc_dets(d_xyxy, d_conf, d_cls, d_valid):
                 return oc_core.OCSortDetections(
                     xyxy=d_xyxy, score=d_conf, class_id=d_cls, valid=d_valid)
 
-            per_stream_track = make_per_stream_track_motion(
-                lambda st, d: oc_core.step(st, d, poc), _oc_dets,
-                lambda st: oc_core.get_outputs(st, poc))
+            def make_track(pp):
+                return make_per_stream_track_motion(
+                    pp, oc_core.step, _oc_dets, oc_core.get_outputs)
+
+            core_params = self.ocsort_params
         else:
-            per_stream_track = make_per_stream_track(p)
+            make_track = make_per_stream_track
+            core_params = p
+        per_stream_track = make_track(core_params)
 
         def compact_dets(num, boxes, scores, labels):
             present = jnp.arange(boxes.shape[0]) < num
@@ -376,51 +385,44 @@ class MultiStreamPipeline:
                 dets = dets + (frame_valid.swapaxes(0, 1),)
 
             def make_body(pp):
-                track = (make_per_stream_track(pp) if with_reid
-                         else per_stream_track)  # motion cores ignore pp
+                track = make_track(pp)
 
                 def body(st, per_t):
                     return jax.vmap(track)(st, *per_t)
                 return body
 
             t_small = self.scan_bucket
-            if t_small and t_small < p.max_tracks:
+            if t_small and t_small < core_params.max_tracks:
                 # capacity-bucketed time scan (see runtime/pipeline.py):
                 # the fits/overflow conds are SCALAR (reduced over all
                 # streams), evaluated outside the vmap — so exactly one
                 # scan variant executes per chunk, unlike a per-stream
                 # cond which vmap would run both branches of
                 import dataclasses as _dc
-                from ..core.state import TRACK_AXIS_FIELDS
-                p_small = _dc.replace(p, max_tracks=t_small)
+                from ..core.state import (slice_stream_tracks,
+                                          splice_stream_tracks)
+                p_small = _dc.replace(core_params, max_tracks=t_small)
+                t_full = core_params.max_tracks
                 k_ = dets[0].shape[0]
 
                 def pad_outs(outs):
-                    pad_t = p.max_tracks - t_small
+                    pad_t = t_full - t_small
                     return tuple(
                         jnp.pad(a, ((0, 0), (0, 0), (0, pad_t)) +
                                 ((0, 0),) * (a.ndim - 3)) for a in outs)
 
                 def zero_outs():
-                    tlbr_z = jnp.zeros((k_, s, p.max_tracks, 4),
-                                       jnp.float32)
-                    i_z = jnp.zeros((k_, s, p.max_tracks), jnp.int32)
+                    tlbr_z = jnp.zeros((k_, s, t_full, 4), jnp.float32)
+                    i_z = jnp.zeros((k_, s, t_full), jnp.int32)
                     return (tlbr_z, i_z, i_z, tlbr_z[..., 0],
-                            jnp.zeros((k_, s, p.max_tracks), jnp.bool_))
+                            jnp.zeros((k_, s, t_full), jnp.bool_))
 
                 def small_pass(_):
-                    small = states.replace(
-                        **{f: getattr(states, f)[:, :t_small]
-                           for f in TRACK_AXIS_FIELDS})
+                    small = slice_stream_tracks(states, t_small)
                     s_small, outs = jax.lax.scan(
                         make_body(p_small), small, dets)
-                    spliced = states.replace(
-                        **{f: getattr(states, f).at[:, :t_small].set(
-                            getattr(s_small, f))
-                           for f in TRACK_AXIS_FIELDS},
-                        next_id=s_small.next_id, dropped=s_small.dropped)
-                    return (spliced, pad_outs(outs),
-                            jnp.sum(s_small.dropped))
+                    return (splice_stream_tracks(states, s_small),
+                            pad_outs(outs), jnp.sum(s_small.dropped))
 
                 def skip_small(_):
                     return (states, zero_outs(),
@@ -437,7 +439,7 @@ class MultiStreamPipeline:
                 use_full = cand_dropped > jnp.sum(states.dropped)
 
                 def full_pass(_):
-                    return jax.lax.scan(make_body(p), states, dets)
+                    return jax.lax.scan(make_body(core_params), states, dets)
 
                 def accept(_):
                     return cand_states, cand_outs
@@ -445,7 +447,8 @@ class MultiStreamPipeline:
                 states, outs = jax.lax.cond(
                     use_full, full_pass, accept, None)
             else:
-                states, outs = jax.lax.scan(make_body(p), states, dets)
+                states, outs = jax.lax.scan(
+                    make_body(core_params), states, dets)
             # outs: each (K, S, ...) -> (S, K, ...)
             outs = jax.tree.map(lambda a: a.swapaxes(0, 1), outs)
             return states, outs

@@ -59,10 +59,12 @@ _COLORS = {
     7: ((40, 190, 200), (40, 60, 55)),    # truck: yellow
 }
 
-_CLS_TABLE = jnp.asarray(CLASS_IDS, jnp.int32)
-_PRIOR_TABLE = jnp.asarray([_PRIORS[c] for c in CLASS_IDS], jnp.float32)
-_COLOR_BASE = jnp.asarray([_COLORS[c][0] for c in CLASS_IDS], jnp.float32)
-_COLOR_SPAN = jnp.asarray([_COLORS[c][1] for c in CLASS_IDS], jnp.float32)
+# NumPy (not jnp): module-level jnp.asarray would initialize the JAX
+# backend at import time, before callers can force a platform (CLAUDE.md).
+_CLS_TABLE = np.asarray(CLASS_IDS, np.int32)
+_PRIOR_TABLE = np.asarray([_PRIORS[c] for c in CLASS_IDS], np.float32)
+_COLOR_BASE = np.asarray([_COLORS[c][0] for c in CLASS_IDS], np.float32)
+_COLOR_SPAN = np.asarray([_COLORS[c][1] for c in CLASS_IDS], np.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,7 +89,7 @@ def random_objects(key, spec: WorldSpec):
     ks = jax.random.split(key, 8)
     valid = jax.random.bernoulli(ks[0], spec.presence, (n,))
     ci = jax.random.randint(ks[1], (n,), 0, len(CLASS_IDS))
-    pri = _PRIOR_TABLE[ci]                                   # (N, 4)
+    pri = jnp.asarray(_PRIOR_TABLE)[ci]                      # (N, 4)
     u = jax.random.uniform(ks[2], (n, 2))
     bh = pri[:, 0] + u[:, 0] * (pri[:, 1] - pri[:, 0])
     bw = bh * (pri[:, 2] + u[:, 1] * (pri[:, 3] - pri[:, 2]))
@@ -98,7 +100,8 @@ def random_objects(key, spec: WorldSpec):
                       cx + bw / 2, cy + bh / 2], axis=-1)
     jit1 = jax.random.uniform(ks[4], (n, 3), minval=-1.0, maxval=1.0)
     jit2 = jax.random.uniform(ks[5], (n, 3), minval=-1.0, maxval=1.0)
-    color = jnp.clip(_COLOR_BASE[ci] + jit1 * _COLOR_SPAN[ci], 0, 255)
+    color = jnp.clip(jnp.asarray(_COLOR_BASE)[ci]
+                     + jit1 * jnp.asarray(_COLOR_SPAN)[ci], 0, 255)
     color2 = jnp.clip(color * (0.55 + 0.25 * jit2), 0, 255)
     phase = jax.random.uniform(ks[6], (n,), maxval=64.0)
     stripe = jax.random.randint(ks[7], (n,), 6, 18).astype(jnp.float32)
@@ -176,7 +179,7 @@ def ground_truth(objects, spec: WorldSpec, min_visible: float = 0.25):
     carea = jnp.maximum(cl[:, 2] - cl[:, 0], 0) * \
         jnp.maximum(cl[:, 3] - cl[:, 1], 0)
     valid = objects["valid"] & (carea / area >= min_visible)
-    return cl, _CLS_TABLE[objects["cls"]], valid
+    return cl, jnp.asarray(_CLS_TABLE)[objects["cls"]], valid
 
 
 def random_scene(key, spec: WorldSpec):

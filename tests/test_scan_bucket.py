@@ -264,3 +264,52 @@ def test_bucketed_motion_core_overflow_and_highslot_equal_full(kind):
     active-high-slot skip — both fallback paths, bitwise."""
     _assert_runs_equal(_run_pipeline_kind(kind, 4, 8),
                        _run_pipeline_kind(kind, 0, 8))
+
+
+def _run_multistream_kind(kind, scan_bucket, n_chunks=2, chunk=3,
+                          streams=2):
+    """_run_multistream with a motion-only core. Thresholds drop so the
+    seeded random-weight detector's scores initiate real tracks."""
+    from aicamera_tpu.parallel import MultiStreamPipeline
+    if kind == "bytetrack":
+        from aicamera_tpu.core.bytetrack import ByteTrackParams
+        kw = dict(tracker="bytetrack",
+                  bytetrack_params=ByteTrackParams(
+                      track_thresh=0.05, low_thresh=0.01, det_thresh=0.05,
+                      max_tracks=64, max_detections=16))
+    else:
+        from aicamera_tpu.core.ocsort import OCSortParams
+        kw = dict(tracker="ocsort",
+                  ocsort_params=OCSortParams(det_thresh=0.02, min_hits=2,
+                                             max_tracks=64,
+                                             max_detections=16))
+    pipe = MultiStreamPipeline(
+        n_streams=streams, frame_hw=(96, 128), input_shape=(128, 128),
+        conf_threshold=0.0, scan_bucket=scan_bucket, **kw)
+    rng = np.random.RandomState(1)
+    outs_all = []
+    for _ in range(n_chunks):
+        frames = rng.randint(0, 255, (streams, chunk, 96, 128, 3),
+                             np.uint8)
+        outs = pipe.step_chunk(frames)
+        outs_all.append(jax.device_get(outs))
+    return jax.device_get(pipe.states), outs_all
+
+
+@pytest.mark.parametrize("kind", ["bytetrack", "ocsort"])
+def test_bucketed_multistream_motion_core_equals_full(kind):
+    """The generic bucketed scan through MultiStreamPipeline's vmapped
+    motion-core step (small path with headroom): bitwise equality."""
+    a = _run_multistream_kind(kind, scan_bucket=24)
+    b = _run_multistream_kind(kind, scan_bucket=0)
+    assert np.asarray(a[0].active).sum() > 0
+    _assert_runs_equal(a, b)
+
+
+@pytest.mark.parametrize("kind", ["bytetrack", "ocsort"])
+def test_bucketed_multistream_motion_core_overflow_equals_full(kind):
+    """Bucket 8 vs up to 16 dets/stream: overflow rerun + fits-fail
+    fallback through the vmapped motion-core scan."""
+    a = _run_multistream_kind(kind, scan_bucket=8)
+    b = _run_multistream_kind(kind, scan_bucket=0)
+    _assert_runs_equal(a, b)
