@@ -74,6 +74,15 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     parser.add_argument("--ema_alpha", type=float, default=0.9,
                         help="EMA blend factor for --gallery_strategy ema "
                              "(higher = slower-moving appearance bank).")
+    parser.add_argument("--gmc", type=str, default="off",
+                        choices=("off", "affine", "translation"),
+                        help="Camera-motion compensation (any tracker): "
+                             "estimate the inter-frame camera motion on-"
+                             "device (block phase correlation) and warp "
+                             "track states before association. Use for "
+                             "panning/zooming (PTZ, vehicle-mounted) "
+                             "cameras; 'off' = reference static-camera "
+                             "behavior.")
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")
@@ -134,6 +143,12 @@ def main(argv=None):
     extra = {}
     if args.input_shape:
         extra["input_shape"] = (args.input_shape, args.input_shape)
+    if args.gallery_strategy == "ema" and args.tracker != "deepsort":
+        # fail loudly rather than silently running motion-only tracking
+        # while the user believes the EMA appearance bank is active
+        raise SystemExit(
+            f"--gallery_strategy ema requires --tracker deepsort (the "
+            f"motion-only '{args.tracker}' core has no appearance gallery)")
     if args.tracker == "deepsort" and args.gallery_strategy == "ema":
         from .core.state import TrackerParams
         extra["tracker_params"] = TrackerParams(
@@ -155,6 +170,7 @@ def main(argv=None):
         chunk_size=chunk,
         letterbox_auto=args.auto_input,
         tracker=args.tracker,
+        gmc=args.gmc,
         **extra,
     )
     print("Compiling fused detect+track step (cached after first run)...")

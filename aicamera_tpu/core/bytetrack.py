@@ -157,9 +157,16 @@ def _claimed(match: jnp.ndarray, n_cols: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))
 def step(state: ByteTrackState, dets: ByteDetections,
-         params: ByteTrackParams) -> ByteTrackState:
+         params: ByteTrackParams, gmc=None) -> ByteTrackState:
     """One full ByteTrack frame update (predict + 3 association stages +
     lifecycle), mirroring the official BYTETracker.update loop.
+
+    ``gmc``: optional ``(A (2,2), t (2,))`` camera affine mapping
+    previous-frame to current-frame coordinates (:mod:`..ops.gmc`).
+    Applied to every live track's Kalman state after prediction and
+    before association — BoT-SORT's ordering (multi_predict then
+    multi_gmc on both the track pool and unconfirmed tracks); ByteTrack
+    + GMC is exactly BoT-SORT's camera-motion-compensated motion model.
 
     The donated ``state`` must not be reused after the call (same contract
     as the DeepSORT core's jitted step).
@@ -182,6 +189,9 @@ def step(state: ByteTrackState, dets: ByteDetections,
 
     mean, cov = jax.lax.cond(
         jnp.any(pool), do_predict, lambda _: (mean0, state.cov), None)
+    if gmc is not None:
+        from ..ops.gmc import warp_xyah_bank
+        mean, cov = warp_xyah_bank(mean, cov, gmc[0], gmc[1], state.active)
     tsu = jnp.where(state.active, state.tsu + 1, state.tsu)
 
     # --- Score split (official: s > thresh high; 0.1 < s < thresh low;

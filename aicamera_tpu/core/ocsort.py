@@ -44,6 +44,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .assignment import min_cost_matching
@@ -63,9 +64,13 @@ def _h7() -> jnp.ndarray:
     return jnp.eye(4, 7, dtype=jnp.float32)
 
 
-_Q_DIAG = jnp.asarray([1, 1, 1, 1, 0.01, 0.01, 0.0001], jnp.float32)
-_R_DIAG = jnp.asarray([1, 1, 10, 10], jnp.float32)
-_P0_DIAG = jnp.asarray([10, 10, 10, 10, 1e4, 1e4, 1e4], jnp.float32)
+# NumPy (not jnp) on purpose: module-level jnp.asarray would initialize —
+# and on this host, attach — the JAX backend at import time, before callers
+# can force a platform (CLAUDE.md: the axon plugin overrides JAX_PLATFORMS).
+# These become compile-time constants inside the jitted step either way.
+_Q_DIAG = np.asarray([1, 1, 1, 1, 0.01, 0.01, 0.0001], np.float32)
+_R_DIAG = np.asarray([1, 1, 10, 10], np.float32)
+_P0_DIAG = np.asarray([10, 10, 10, 10, 1e4, 1e4, 1e4], np.float32)
 
 
 def kf_initiate(z: jnp.ndarray):
@@ -321,9 +326,17 @@ def _associate_ocm(iou: jnp.ndarray, bonus: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("params",), donate_argnames=("state",))
 def step(state: OCSortState, dets: OCSortDetections,
-         params: OCSortParams) -> OCSortState:
+         params: OCSortParams, gmc=None) -> OCSortState:
     """One full OC-SORT frame update (predict + OCM association + OCR
     recovery + ORU re-update + lifecycle), mirroring OCSort.update.
+
+    ``gmc``: optional ``(A (2,2), t (2,))`` camera affine mapping
+    previous-frame to current-frame coordinates (:mod:`..ops.gmc`),
+    applied after prediction and before association (BoT-SORT ordering).
+    OC-SORT associates against *observation history* as much as the KF,
+    so the warp also moves ``last_obs``, the OCM ring, the frozen ORU
+    state and the momentum direction (see
+    :func:`..ops.gmc.warp_ocsort_state`).
 
     The donated ``state`` must not be reused after the call.
     """
@@ -343,14 +356,25 @@ def step(state: OCSortState, dets: OCSortDetections,
 
     x, p = jax.lax.cond(jnp.any(state.active), do_predict,
                         lambda _: (state.x, state.p), None)
+    if gmc is not None:
+        from ..ops.gmc import warp_ocsort_state
+        warped = warp_ocsort_state(state.replace(x=x, p=p), gmc[0], gmc[1])
+        x, p = warped.x, warped.p
+        state = state.replace(
+            frozen_x=warped.frozen_x, frozen_p=warped.frozen_p,
+            last_obs=warped.last_obs, obs_ring=warped.obs_ring,
+            velocity=warped.velocity)
     hit_streak = jnp.where(state.active & (state.tsu > 0), 0,
                            state.hit_streak)
     tsu = jnp.where(state.active, state.tsu + 1, state.tsu)
     age = jnp.where(state.active, state.age + 1, state.age)
-    # the official removes tracks whose prediction went NaN (to_del)
-    active = state.active & jnp.isfinite(x).all(-1)
-
     trk_boxes = x_to_xyxy(x)
+    # the official removes tracks whose predicted BOX went NaN (to_del,
+    # ocsort.py update loop): it checks the converted box, not the raw
+    # state — sqrt of a negative s*r yields a NaN box while x itself is
+    # still fully finite, and that track must die this frame (it would
+    # otherwise live on as a zombie re-matchable through OCR).
+    active = state.active & jnp.isfinite(trk_boxes).all(-1)
     prev_obs, prev_valid = _previous_obs(
         state.replace(age=age), params)
 

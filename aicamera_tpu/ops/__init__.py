@@ -11,8 +11,10 @@ from .preprocess import (LetterboxSpec, letterbox, letterbox_spec,
                          preprocess_yolo, scale_boxes_back)
 from .nms import batched_nms, fused_decode_nms
 from .crops import extract_reid_crops
+from .gmc import GMCSpec, gmc_spec, estimate_pair, estimate_chunk
 
 __all__ = [
     "LetterboxSpec", "letterbox", "letterbox_spec", "preprocess_yolo", "scale_boxes_back",
     "batched_nms", "fused_decode_nms", "extract_reid_crops",
+    "GMCSpec", "gmc_spec", "estimate_pair", "estimate_chunk",
 ]

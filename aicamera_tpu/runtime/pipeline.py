@@ -38,6 +38,7 @@ from ..core import ocsort as oc_core
 from ..core import state as core_state
 from ..core import tracker as core_tracker
 from ..core.state import Detections, TrackerParams
+from ..ops import gmc as gmc_ops
 from ..ops.crops import extract_reid_crops
 from ..ops.nms import fused_decode_nms
 from ..ops.pallas_preprocess import preprocess_yolo_pallas
@@ -152,7 +153,8 @@ class TrackingPipeline:
                  letterbox_auto: bool = False,
                  tracker: str = "deepsort",
                  bytetrack_params: bt_core.ByteTrackParams | None = None,
-                 ocsort_params: oc_core.OCSortParams | None = None):
+                 ocsort_params: oc_core.OCSortParams | None = None,
+                 gmc: str | bool = False):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
@@ -200,7 +202,17 @@ class TrackingPipeline:
         lists. OC-SORT consumes only detections above its strict
         ``det_thresh`` (0.6). The capacity-bucketed scan applies to all
         three cores (``_bucketed_time_scan``) — the per-frame scans are
-        throughput-bound in padded track capacity."""
+        throughput-bound in padded track capacity.
+
+        ``gmc``: camera-motion compensation (:mod:`..ops.gmc` — a
+        capability the static-camera reference lacks). ``"affine"`` (or
+        ``True``) estimates an inter-frame camera affine by batched
+        block phase correlation *inside the chunk program* and warps
+        every live track's Kalman state (BoT-SORT's compensation,
+        TPU-native estimate); ``"translation"`` restricts the model to
+        pan. Applies to all three tracker cores. Off by default — on a
+        genuinely static camera the estimate is the identity and only
+        costs its FFTs."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
         if self.tracker_kind not in ("deepsort", "bytetrack", "ocsort"):
@@ -222,6 +234,16 @@ class TrackingPipeline:
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
             with_reid = False
+        if gmc in (False, None, "off", "none", ""):
+            self.gmc_method = None
+        elif gmc in (True, "affine"):
+            self.gmc_method = "affine"
+        elif gmc == "translation":
+            self.gmc_method = "translation"
+        else:
+            raise ValueError(f"gmc must be off/affine/translation or a "
+                             f"bool (got {gmc!r})")
+        self._gmc_prev_frame = None
         self.synthetic_load = int(synthetic_load)
         self.scan_bucket = int(scan_bucket or 0)
         if self.scan_bucket < 0:
@@ -256,12 +278,24 @@ class TrackingPipeline:
             max_detections=config.MAX_DETECTIONS,
             feature_dim=config.REID_FEATURE_DIM,
         )
+        # crops are gathered from the detection slots, so more crop
+        # capacity than detection slots is unreachable (and would break
+        # the bucketed gather's static reshape)
+        self.max_reid_crops = min(self.max_reid_crops,
+                                  self.tracker_params.max_detections)
         self._track_class_ids = jnp.asarray(
             config.CLASS_IDS_TO_TRACK, jnp.int32)
         self._nms_score_floor = config.YOLO_NMS_SCORE_THRESHOLD
         if self.tracker_kind == "bytetrack":
             self._nms_score_floor = min(self._nms_score_floor,
                                         self.bytetrack_params.low_thresh)
+        elif self.tracker_kind == "ocsort":
+            # a custom det_thresh below the NMS default must still reach
+            # the core's own strict gate — otherwise the fused pipeline
+            # silently starves detections in (det_thresh, 0.25) that a
+            # facade fed by a same-threshold detector would accept
+            self._nms_score_floor = min(self._nms_score_floor,
+                                        self.ocsort_params.det_thresh)
         self.state = self._init_tracker_state()
         self._steps = {}
 
@@ -288,6 +322,9 @@ class TrackingPipeline:
             n_det = p.max_detections
         n_crops = self.max_reid_crops
         with_reid = self.with_reid
+        use_gmc = self.gmc_method is not None
+        if use_gmc:
+            gspec = gmc_ops.gmc_spec(frame_hw)
 
         n_syn = min(self.synthetic_load, n_det)
         if n_syn:
@@ -347,7 +384,16 @@ class TrackingPipeline:
                     compact(labels.astype(jnp.int32)), compact(elig),
                     det_valid)
 
-        def step(yolo_params, reid_params, state, frames, frame_valid):
+        def step(yolo_params, reid_params, state, frames, frame_valid,
+                 prev_frame=None):
+            if use_gmc:
+                # camera motion per frame, estimated inside the same
+                # program (K+1 pooled-gray FFts; no host round trip)
+                g_a, g_t = gmc_ops.estimate_chunk(
+                    prev_frame, frames, gspec, self.gmc_method)
+                gmc_xs = (g_a, g_t)
+            else:
+                gmc_xs = ()
             num, boxes_f, scores, labels = detect_batch(yolo_params, frames)
             d_xyxy, d_conf, d_cls, d_valid, det_valid = jax.vmap(compact_dets)(
                 num, boxes_f, scores, labels)  # (K, n_det, ...)
@@ -417,19 +463,21 @@ class TrackingPipeline:
                 def make_scan_body_bt(pp):
                     def scan_body_bt(st, per_frame):
                         (f_tlwh, f_conf, f_cls, f_valid,
-                         f_frame_valid) = per_frame
+                         f_frame_valid) = per_frame[:5]
+                        f_gmc = tuple(per_frame[5:]) if use_gmc else None
                         dets = bt_core.ByteDetections(
                             tlwh=f_tlwh, score=f_conf, class_id=f_cls,
                             valid=f_valid)
                         st = jax.lax.cond(
                             f_frame_valid,
-                            lambda s: bt_core.step(s, dets, pp),
+                            lambda s: bt_core.step(s, dets, pp, gmc=f_gmc),
                             lambda s: s, st)
                         return st, bt_core.get_outputs(st)
                     return scan_body_bt
 
                 state, track_outs = _bucketed_time_scan(
-                    state, (tlwh, d_conf, d_cls, d_valid, frame_valid),
+                    state,
+                    (tlwh, d_conf, d_cls, d_valid, frame_valid) + gmc_xs,
                     make_scan_body_bt, self.bytetrack_params,
                     self.scan_bucket, k)
                 det_outs = (num, boxes_f, scores, labels, det_valid)
@@ -439,19 +487,21 @@ class TrackingPipeline:
                 def make_scan_body_oc(pp):
                     def scan_body_oc(st, per_frame):
                         (f_xyxy, f_conf, f_cls, f_valid,
-                         f_frame_valid) = per_frame
+                         f_frame_valid) = per_frame[:5]
+                        f_gmc = tuple(per_frame[5:]) if use_gmc else None
                         dets = oc_core.OCSortDetections(
                             xyxy=f_xyxy, score=f_conf, class_id=f_cls,
                             valid=f_valid)
                         st = jax.lax.cond(
                             f_frame_valid,
-                            lambda s: oc_core.step(s, dets, pp),
+                            lambda s: oc_core.step(s, dets, pp, gmc=f_gmc),
                             lambda s: s, st)
                         return st, oc_core.get_outputs(st, pp)
                     return scan_body_oc
 
                 state, track_outs = _bucketed_time_scan(
-                    state, (d_xyxy, d_conf, d_cls, d_valid, frame_valid),
+                    state,
+                    (d_xyxy, d_conf, d_cls, d_valid, frame_valid) + gmc_xs,
                     make_scan_body_oc, self.ocsort_params,
                     self.scan_bucket, k)
                 det_outs = (num, boxes_f, scores, labels, det_valid)
@@ -460,13 +510,21 @@ class TrackingPipeline:
             def make_scan_body(pp):
                 def scan_body(st, per_frame):
                     (f_tlwh, f_conf, f_cls, f_feats, f_hasfeat, f_valid,
-                     f_frame_valid) = per_frame
+                     f_frame_valid) = per_frame[:7]
+                    f_gmc = tuple(per_frame[7:]) if use_gmc else None
                     dets = Detections(tlwh=f_tlwh, conf=f_conf,
                                       class_id=f_cls, feature=f_feats,
                                       has_feature=f_hasfeat, valid=f_valid)
 
                     def do(st):
                         st = core_tracker.predict(st, pp)
+                        if f_gmc is not None:
+                            # BoT-SORT ordering: predict, then warp by the
+                            # camera affine, then associate
+                            m, c = gmc_ops.warp_xyah_bank(
+                                st.mean, st.cov, f_gmc[0], f_gmc[1],
+                                st.active)
+                            st = st.replace(mean=m, cov=c)
                         return core_tracker.update(st, dets, pp)
 
                     # padding frames at a clip's tail leave state untouched
@@ -475,7 +533,7 @@ class TrackingPipeline:
                 return scan_body
 
             xs = (tlwh, d_conf, d_cls, d_feats, d_hasfeat, d_valid,
-                  frame_valid)
+                  frame_valid) + gmc_xs
             state, track_outs = _bucketed_time_scan(
                 state, xs, make_scan_body, p, self.scan_bucket, k)
             # track_outs: (tlbr, ids, cls, conf, mask), each (K, T, ...)
@@ -495,6 +553,7 @@ class TrackingPipeline:
     def reset(self):
         """Fresh tracker state (ids restart at 1, reference track.py:160)."""
         self.state = self._init_tracker_state()
+        self._gmc_prev_frame = None
 
     def _dispatch_chunk(self, frames_np: np.ndarray, n_valid: int | None = None):
         """Upload one (K,H,W,3) chunk and dispatch the fused step (async)."""
@@ -503,9 +562,17 @@ class TrackingPipeline:
         step = self._get_step(frames_np.shape[1:3], k)
         frames_dev = jnp.asarray(frames_np)
         frame_valid = jnp.arange(k) < n_valid
+        extra = ()
+        if self.gmc_method is not None:
+            # frame before this chunk; for the very first chunk the
+            # chunk's own first frame (identity motion for frame 0)
+            prev = (self._gmc_prev_frame if self._gmc_prev_frame is not None
+                    else frames_np[0])
+            extra = (jnp.asarray(prev),)
+            self._gmc_prev_frame = frames_np[n_valid - 1].copy()
         self.state, det_outs, track_outs = step(
             self.yolo_params, self.reid_params, self.state, frames_dev,
-            frame_valid)
+            frame_valid, *extra)
         for leaf in (*det_outs, *track_outs):
             leaf.copy_to_host_async()
         return det_outs, track_outs

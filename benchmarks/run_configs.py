@@ -19,6 +19,7 @@
  17. OC-SORT on the clip (observation-centric tracker, no ReID stage)
  18. OC-SORT under the realistic trained load, MOTA-checked (vs 9/16)
  19. DeepSORT with the EMA appearance bank (vs config 9's FIFO ring)
+ 20. Camera-motion compensation on a panning camera (quality + overhead)
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all [--out results.jsonl]
@@ -103,60 +104,104 @@ def _staged_chunks(arr, chunk):
     return chunks
 
 
-def config2_detect_clip(frames_n=500):
-    """Detection-only loop (decode+NMS included) over the clip."""
+def _one_pass(pipe, step, chunks, fv, collect="track"):
+    """One timed pass of the chunked fused step over pre-staged chunks.
+    Returns wall FPS. Shared by every single-stream config so methodology
+    changes (warm-up, readback, reset semantics) stay comparable."""
     import jax
+    n = len(chunks) * int(fv.shape[0])
+    pipe.reset()
+    state = pipe.state
+    outs = []
+    t0 = time.perf_counter()
+    for c in chunks:
+        state, det_outs, track_outs = step(
+            pipe.yolo_params, pipe.reid_params, state, c, fv)
+        outs.append(det_outs if collect == "det" else track_outs)
+    jax.device_get(outs)
+    return n / (time.perf_counter() - t0)
+
+
+def _timed_run(pipe, arr, k=96, reps=3, collect="track"):
+    """Warm up + compile, pre-stage ``arr`` in HBM, run ``reps`` timed
+    passes. Returns (sorted run FPS list, frames per pass)."""
     import jax.numpy as jnp
-    from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    arr = _load_clip(frames_n)
-    k = 96
-    pipe = TrackingPipeline(chunk_size=k, with_reid=False)
     pipe.warm_up(arr.shape[1:3])
     step = pipe._get_step(arr.shape[1:3], k)
     fv = jnp.ones((k,), bool)
     chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    best = 0.0
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, det_outs, _ = step(pipe.yolo_params, pipe.reid_params,
-                                      state, c, fv)
-            outs.append(det_outs)
-        jax.device_get(outs)
-        best = max(best, n / (time.perf_counter() - t0))
-    _emit("2_yolov8n_detect_clip", best, frames=n)
+    runs = sorted(_one_pass(pipe, step, chunks, fv, collect)
+                  for _ in range(reps))
+    return runs, len(chunks) * k
+
+
+def _trained_world_frames(frames_n, seed=4):
+    """The shared realistic-load scene (configs 9/16/18/19 must score the
+    IDENTICAL sequence for their MOTA rows to be comparable). Returns
+    (frames (N,H,W,3) u8, [(gt_boxes, gt_ids)], [(gt_boxes, gt_cls)])."""
+    import numpy as np
+    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+    world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0),
+                          seed=seed, speed=3.0)
+    frames, gt, gt_det = [], [], []
+    for _ in range(frames_n):
+        f, b, ids, cls, v = world.step()
+        frames.append(f)
+        gt.append((b[v], ids[v]))
+        gt_det.append((b[v], cls[v]))
+    return np.stack(frames), gt, gt_det
+
+
+def _synthetic_checkpoints(config_name):
+    """(yolo_weights_path, reid_weights_path_or_None); emits the missing-
+    checkpoint note line and returns None when the detector is absent."""
+    root = Path(__file__).resolve().parent.parent
+    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
+    reid = root / "models" / "reid" / "deepsort_reid_synthetic.msgpack"
+    if not weights.exists():
+        print(json.dumps({"config": config_name, "value": None,
+                          "note": "checkpoint missing — run "
+                                  "scripts/train_synthetic.py"}))
+        return None
+    return str(weights), (str(reid) if reid.exists() else None)
+
+
+def _replay_quality(pipe, arr, gt, frames=96, score_from=5,
+                    collect_dets=False):
+    """Replay ``frames`` frames through the host-facing process_frames path
+    and score CLEAR-MOT vs ground truth over [score_from:frames] (the
+    first frames are the trackers' n_init/min_hits warm-up). Optionally
+    also returns the per-frame detection outputs for AP scoring."""
+    import numpy as np
+    from aicamera_tpu.eval import evaluate_mot
+    pipe.reset()
+    hyp, preds = [], []
+    for res in pipe.process_frames(iter(list(arr[:frames]))):
+        if res.tracks:
+            hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
+                        np.asarray([t[4] for t in res.tracks], np.int64)))
+        else:
+            hyp.append((np.zeros((0, 4), np.float32),
+                        np.zeros((0,), np.int64)))
+        preds.append((res.det_boxes, res.det_scores, res.det_labels))
+    mot = evaluate_mot(gt[score_from:frames], hyp[score_from:frames])
+    return (mot, preds) if collect_dets else mot
+
+
+def config2_detect_clip(frames_n=500):
+    """Detection-only loop (decode+NMS included) over the clip."""
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    pipe = TrackingPipeline(chunk_size=96, with_reid=False)
+    runs, n = _timed_run(pipe, _load_clip(frames_n), collect="det")
+    _emit("2_yolov8n_detect_clip", runs[-1], frames=n)
 
 
 def config3_full_tracking(frames_n=500):
     """Full detect+track on the clip — defers to bench.py's methodology."""
-    import jax
-    import jax.numpy as jnp
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    arr = _load_clip(frames_n)
-    k = 96
-    pipe = TrackingPipeline(chunk_size=k)
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    runs = []
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        runs.append(n / (time.perf_counter() - t0))
-    med = sorted(runs)[1]
+    pipe = TrackingPipeline(chunk_size=96)
+    runs, n = _timed_run(pipe, _load_clip(frames_n))
+    med = runs[1]
     _emit("3_full_tracking_clip", med, frames=n, method="median_of_3",
           vs_baseline=round(med / 30, 2))
 
@@ -228,29 +273,12 @@ def config5_yolov8m_1080p(frames_n=128, mesh_spec: str | None = None):
         _emit("5_yolov8m_1080p_crowd", len(staged) * k * s / dt,
               unit="stream_fps", mesh=mesh_spec)
         return
-    arr = _load_clip(frames_n, hw=(1080, 1920))
-    k = 16
     tp = TrackerParams(max_tracks=256, max_detections=100,
                        feature_dim=cfg.REID_FEATURE_DIM)
-    pipe = TrackingPipeline(variant="m", chunk_size=k, tracker_params=tp)
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    best = 0.0
-    for _ in range(2):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        best = max(best, n / (time.perf_counter() - t0))
-    _emit("5_yolov8m_1080p_crowd", best, frames=n)
+    pipe = TrackingPipeline(variant="m", chunk_size=16, tracker_params=tp)
+    runs, n = _timed_run(pipe, _load_clip(frames_n, hw=(1080, 1920)),
+                         k=16, reps=2)
+    _emit("5_yolov8m_1080p_crowd", runs[-1], frames=n)
 
 
 def config6_streaming_e2e(chunk=32):
@@ -290,33 +318,12 @@ def config7_worst_case_load(frames_n=288):
     (synthetic grid injected post-NMS): largest ReID bucket, full cascade,
     full track table. The honest lower bound for crowded scenes.
     Chunk 96 matches bench.py's worst-case methodology (same program)."""
-    import jax
-    import jax.numpy as jnp
     from aicamera_tpu import config as cfg
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    arr = _load_clip(frames_n)
-    k = 96
-    pipe = TrackingPipeline(chunk_size=k,
+    pipe = TrackingPipeline(chunk_size=96,
                             synthetic_load=cfg.MAX_DETECTIONS)
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    runs = []
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        runs.append(n / (time.perf_counter() - t0))
-    _emit("7_worst_case_64det", sorted(runs)[1], frames=n,
-          method="median_of_3")
+    runs, n = _timed_run(pipe, _load_clip(frames_n))
+    _emit("7_worst_case_64det", runs[1], frames=n, method="median_of_3")
 
 
 def config8_latency(frames_n=200):
@@ -352,72 +359,24 @@ def config9_synthetic_trained(frames_n=288):
     cascade and lifecycle work — unlike configs 2/3, whose untrained
     weights make the post-NMS slate noise-driven. Also sanity-checks
     tracking quality (MOTA vs exact synthetic ground truth)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from pathlib import Path
-    from aicamera_tpu.eval import evaluate_detections, evaluate_mot
+    from aicamera_tpu.eval import evaluate_detections
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
 
-    root = Path(__file__).resolve().parent.parent
-    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
-    reid_weights = root / "models" / "reid" / \
-        "deepsort_reid_synthetic.msgpack"
-    if not weights.exists():
-        print(json.dumps({"config": "9_synthetic_trained", "value": None,
-                          "note": "checkpoint missing — run "
-                                  "scripts/train_synthetic.py"}))
+    ckpt = _synthetic_checkpoints("9_synthetic_trained")
+    if ckpt is None:
         return
-    world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0), seed=4,
-                          speed=3.0)
-    frames, gt, gt_det = [], [], []
-    for _ in range(frames_n):
-        f, b, ids, cls, v = world.step()
-        frames.append(f)
-        gt.append((b[v], ids[v]))
-        gt_det.append((b[v], cls[v]))
-    arr = np.stack(frames)
-
-    k = 96
-    pipe = TrackingPipeline(
-        chunk_size=k, yolo_weights=str(weights),
-        reid_weights=str(reid_weights) if reid_weights.exists() else None)
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    runs = []
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        runs.append(n / (time.perf_counter() - t0))
+    arr, gt, gt_det = _trained_world_frames(frames_n)
+    pipe = TrackingPipeline(chunk_size=96, yolo_weights=ckpt[0],
+                            reid_weights=ckpt[1])
+    runs, n = _timed_run(pipe, arr)
 
     # tracking + detection quality sanity on the same sequence
-    pipe.reset()
-    hyp, preds = [], []
-    for res in pipe.process_frames(iter(list(arr[:96]))):
-        if res.tracks:
-            hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
-                        np.asarray([t[4] for t in res.tracks], np.int64)))
-        else:
-            hyp.append((np.zeros((0, 4), np.float32),
-                        np.zeros((0,), np.int64)))
-        preds.append((res.det_boxes, res.det_scores, res.det_labels))
-    mot = evaluate_mot(gt[5:96], hyp[5:96])
+    mot, preds = _replay_quality(pipe, arr, gt, collect_dets=True)
     ap = evaluate_detections(gt_det[:96], preds)
     # AP here scores the pipeline's emitted detections, which carry its
     # confidence threshold — a lower bound on full-PR-curve COCO AP
     # (scripts/train_synthetic.py reports that one, floor 0.25)
-    _emit("9_synthetic_trained_tracking", sorted(runs)[1], frames=n,
+    _emit("9_synthetic_trained_tracking", runs[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
           motp=round(mot.motp, 3), id_switches=mot.id_switches,
           ap50=round(ap.ap50, 3), map_5095=round(ap.map_5095, 3),
@@ -439,18 +398,11 @@ def config10_multistream_trained(steps=192, chunk=12):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from pathlib import Path
     from aicamera_tpu.parallel import MultiStreamPipeline
     from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
 
-    root = Path(__file__).resolve().parent.parent
-    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
-    reid_weights = root / "models" / "reid" / \
-        "deepsort_reid_synthetic.msgpack"
-    if not weights.exists():
-        print(json.dumps({"config": "10_multistream_trained", "value": None,
-                          "note": "checkpoint missing — run "
-                                  "scripts/train_synthetic.py"}))
+    ckpt = _synthetic_checkpoints("10_multistream_trained")
+    if ckpt is None:
         return
     s = 8
     spec = WorldSpec(max_objects=10, presence=1.0)
@@ -458,8 +410,8 @@ def config10_multistream_trained(steps=192, chunk=12):
               for i in range(s)]
     hw = spec.hw
     pipe = MultiStreamPipeline(
-        n_streams=s, frame_hw=hw, yolo_weights=str(weights),
-        reid_weights=str(reid_weights) if reid_weights.exists() else None)
+        n_streams=s, frame_hw=hw, yolo_weights=ckpt[0],
+        reid_weights=ckpt[1])
     staged = []
     for t in range(0, steps, chunk):
         block = np.stack([
@@ -559,36 +511,17 @@ def config13_yolov8x_4k(frames_n=48):
     fixed to 1x3x640x640 (export_trt_engines.sh:26-28); this runs ~19x
     its FLOPs per frame (68M-param x at 4x the pixels) with full
     tracking and crowd-scale capacity, still on one chip."""
-    import jax
-    import jax.numpy as jnp
     from aicamera_tpu.core.state import TrackerParams
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     from aicamera_tpu import config as cfg
 
-    arr = _load_clip(frames_n, hw=(2160, 3840))
-    k = 4  # 4K uint8 frames + x@1280 activations bound the chunk
+    # chunk 4: 4K uint8 frames + x@1280 activations bound the chunk
     tp = TrackerParams(max_tracks=256, max_detections=100,
                        feature_dim=cfg.REID_FEATURE_DIM)
-    pipe = TrackingPipeline(variant="x", chunk_size=k,
+    pipe = TrackingPipeline(variant="x", chunk_size=4,
                             input_shape=(1280, 1280), tracker_params=tp)
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    runs = []
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        runs.append(n / (time.perf_counter() - t0))
-    _emit("13_yolov8x_4k", sorted(runs)[1], frames=n,
+    runs, n = _timed_run(pipe, _load_clip(frames_n, hw=(2160, 3840)), k=4)
+    _emit("13_yolov8x_4k", runs[1], frames=n,
           method="median_of_3", input_shape="1280x1280",
           note="largest variant at 4K source; reference: n/a")
 
@@ -646,30 +579,10 @@ def config15_bytetrack_clip(frames_n=500):
     Same clip/chunk/median methodology as config 3, but the fused step has
     NO ReID crop/embed stage (motion-only association) and surfaces
     low-score boxes to the tracker (NMS floor at 0.1)."""
-    import jax
-    import jax.numpy as jnp
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    arr = _load_clip(frames_n)
-    k = 96
-    pipe = TrackingPipeline(chunk_size=k, tracker="bytetrack")
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    runs = []
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        runs.append(n / (time.perf_counter() - t0))
-    _emit("15_bytetrack_clip", sorted(runs)[1], frames=n,
+    pipe = TrackingPipeline(chunk_size=96, tracker="bytetrack")
+    runs, n = _timed_run(pipe, _load_clip(frames_n))
+    _emit("15_bytetrack_clip", runs[1], frames=n,
           method="median_of_3", note="motion-only tracker, no ReID stage")
 
 
@@ -678,62 +591,16 @@ def config16_bytetrack_trained(frames_n=288):
     scenario), with MOTA quality vs exact synthetic ground truth — a
     direct quality+speed comparison against the DeepSORT core on the
     identical workload."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from pathlib import Path
-    from aicamera_tpu.eval import evaluate_mot
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
-
-    root = Path(__file__).resolve().parent.parent
-    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
-    if not weights.exists():
-        print(json.dumps({"config": "16_bytetrack_trained", "value": None,
-                          "note": "checkpoint missing — run "
-                                  "scripts/train_synthetic.py"}))
+    ckpt = _synthetic_checkpoints("16_bytetrack_trained")
+    if ckpt is None:
         return
-    world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0), seed=4,
-                          speed=3.0)
-    frames, gt = [], []
-    for _ in range(frames_n):
-        f, b, ids, cls, v = world.step()
-        frames.append(f)
-        gt.append((b[v], ids[v]))
-    arr = np.stack(frames)
-
-    k = 96
-    pipe = TrackingPipeline(chunk_size=k, tracker="bytetrack",
-                            yolo_weights=str(weights))
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    runs = []
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        runs.append(n / (time.perf_counter() - t0))
-
-    pipe.reset()
-    hyp = []
-    for res in pipe.process_frames(iter(list(arr[:96]))):
-        if res.tracks:
-            hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
-                        np.asarray([t[4] for t in res.tracks], np.int64)))
-        else:
-            hyp.append((np.zeros((0, 4), np.float32),
-                        np.zeros((0,), np.int64)))
-    mot = evaluate_mot(gt[5:96], hyp[5:96])
-    _emit("16_bytetrack_trained", sorted(runs)[1], frames=n,
+    arr, gt, _ = _trained_world_frames(frames_n)
+    pipe = TrackingPipeline(chunk_size=96, tracker="bytetrack",
+                            yolo_weights=ckpt[0])
+    runs, n = _timed_run(pipe, arr)
+    mot = _replay_quality(pipe, arr, gt)
+    _emit("16_bytetrack_trained", runs[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
           motp=round(mot.motp, 3), id_switches=mot.id_switches,
           note="same workload as config 9; motion-only tracker")
@@ -744,30 +611,10 @@ def config17_ocsort_clip(frames_n=500):
     reference README's 'Future Enhancements' list. Same clip/chunk/median
     methodology as configs 3/15; the fused step has NO ReID crop/embed
     stage and applies OC-SORT's strict score > 0.6 input gate."""
-    import jax
-    import jax.numpy as jnp
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    arr = _load_clip(frames_n)
-    k = 96
-    pipe = TrackingPipeline(chunk_size=k, tracker="ocsort")
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    runs = []
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        runs.append(n / (time.perf_counter() - t0))
-    _emit("17_ocsort_clip", sorted(runs)[1], frames=n,
+    pipe = TrackingPipeline(chunk_size=96, tracker="ocsort")
+    runs, n = _timed_run(pipe, _load_clip(frames_n))
+    _emit("17_ocsort_clip", runs[1], frames=n,
           method="median_of_3",
           note="observation-centric motion tracker, no ReID stage")
 
@@ -778,62 +625,16 @@ def config18_ocsort_trained(frames_n=288):
     three-way quality+speed comparison point against DeepSORT (config 9)
     and ByteTrack (config 16) on the identical workload. Official
     det_thresh=0.6 input gate (stricter than the others' floors)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from pathlib import Path
-    from aicamera_tpu.eval import evaluate_mot
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
-
-    root = Path(__file__).resolve().parent.parent
-    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
-    if not weights.exists():
-        print(json.dumps({"config": "18_ocsort_trained", "value": None,
-                          "note": "checkpoint missing — run "
-                                  "scripts/train_synthetic.py"}))
+    ckpt = _synthetic_checkpoints("18_ocsort_trained")
+    if ckpt is None:
         return
-    world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0), seed=4,
-                          speed=3.0)
-    frames, gt = [], []
-    for _ in range(frames_n):
-        f, b, ids, cls, v = world.step()
-        frames.append(f)
-        gt.append((b[v], ids[v]))
-    arr = np.stack(frames)
-
-    k = 96
-    pipe = TrackingPipeline(chunk_size=k, tracker="ocsort",
-                            yolo_weights=str(weights))
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    runs = []
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        runs.append(n / (time.perf_counter() - t0))
-
-    pipe.reset()
-    hyp = []
-    for res in pipe.process_frames(iter(list(arr[:96]))):
-        if res.tracks:
-            hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
-                        np.asarray([t[4] for t in res.tracks], np.int64)))
-        else:
-            hyp.append((np.zeros((0, 4), np.float32),
-                        np.zeros((0,), np.int64)))
-    mot = evaluate_mot(gt[5:96], hyp[5:96])
-    _emit("18_ocsort_trained", sorted(runs)[1], frames=n,
+    arr, gt, _ = _trained_world_frames(frames_n)
+    pipe = TrackingPipeline(chunk_size=96, tracker="ocsort",
+                            yolo_weights=ckpt[0])
+    runs, n = _timed_run(pipe, arr)
+    mot = _replay_quality(pipe, arr, gt)
+    _emit("18_ocsort_trained", runs[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
           motp=round(mot.motp, 3), id_switches=mot.id_switches,
           note="same workload as configs 9/16; det_thresh=0.6 gate")
@@ -846,33 +647,14 @@ def config19_ema_gallery_trained(frames_n=288):
     einsum collapses to G=1 and the ring scatter disappears from the
     scan) and quality (MOTA/IDSW vs the same exact ground truth as
     configs 9/16/18; FIFO ring is the reference-parity baseline)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from pathlib import Path
     from aicamera_tpu import config as cfg
     from aicamera_tpu.core.state import TrackerParams
-    from aicamera_tpu.eval import evaluate_mot
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
-    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
 
-    root = Path(__file__).resolve().parent.parent
-    weights = root / "models" / "detection" / "yolov8n_synthetic.msgpack"
-    reid_weights = root / "models" / "reid" / \
-        "deepsort_reid_synthetic.msgpack"
-    if not weights.exists():
-        print(json.dumps({"config": "19_ema_gallery_trained", "value": None,
-                          "note": "checkpoint missing — run "
-                                  "scripts/train_synthetic.py"}))
+    ckpt = _synthetic_checkpoints("19_ema_gallery_trained")
+    if ckpt is None:
         return
-    world = TemporalWorld(WorldSpec(max_objects=10, presence=1.0), seed=4,
-                          speed=3.0)
-    frames, gt = [], []
-    for _ in range(frames_n):
-        f, b, ids, cls, v = world.step()
-        frames.append(f)
-        gt.append((b[v], ids[v]))
-    arr = np.stack(frames)
+    arr, gt, _ = _trained_world_frames(frames_n)
 
     params = TrackerParams(
         max_cosine_distance=cfg.DEEPSORT_MAX_DIST,
@@ -881,43 +663,60 @@ def config19_ema_gallery_trained(frames_n=288):
         max_age=cfg.DEEPSORT_MAX_AGE, n_init=cfg.DEEPSORT_N_INIT,
         max_tracks=cfg.MAX_TRACKS, max_detections=cfg.MAX_DETECTIONS,
         feature_dim=cfg.REID_FEATURE_DIM, ema_alpha=0.9)
-    k = 96
     pipe = TrackingPipeline(
-        chunk_size=k, yolo_weights=str(weights),
-        reid_weights=str(reid_weights) if reid_weights.exists() else None,
+        chunk_size=96, yolo_weights=ckpt[0], reid_weights=ckpt[1],
         tracker_params=params)
-    pipe.warm_up(arr.shape[1:3])
-    step = pipe._get_step(arr.shape[1:3], k)
-    fv = jnp.ones((k,), bool)
-    chunks = _staged_chunks(arr, k)
-    n = len(chunks) * k
-    runs = []
-    for _ in range(3):
-        pipe.reset()
-        state = pipe.state
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, _, track_outs = step(pipe.yolo_params, pipe.reid_params,
-                                        state, c, fv)
-            outs.append(track_outs)
-        jax.device_get(outs)
-        runs.append(n / (time.perf_counter() - t0))
-
-    pipe.reset()
-    hyp = []
-    for res in pipe.process_frames(iter(list(arr[:96]))):
-        if res.tracks:
-            hyp.append((np.asarray([t[:4] for t in res.tracks], np.float32),
-                        np.asarray([t[4] for t in res.tracks], np.int64)))
-        else:
-            hyp.append((np.zeros((0, 4), np.float32),
-                        np.zeros((0,), np.int64)))
-    mot = evaluate_mot(gt[5:96], hyp[5:96])
-    _emit("19_ema_gallery_trained", sorted(runs)[1], frames=n,
+    runs, n = _timed_run(pipe, arr)
+    mot = _replay_quality(pipe, arr, gt)
+    _emit("19_ema_gallery_trained", runs[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
           motp=round(mot.motp, 3), id_switches=mot.id_switches,
           note="config 9 workload with gallery_strategy=ema alpha=0.9")
+
+
+def config20_gmc_pan(frames_n=288):
+    """Camera-motion compensation (ops/gmc.py) on the config-9 realistic
+    workload filmed by an OSCILLATING camera (sinusoidal pan, ±30 px
+    amplitude, 8-frame period — a motion constant-velocity Kalman filters
+    cannot learn; the reference has no answer to it at all). Frames are
+    rolled by the pan and the ground truth shifted with them; paired A/B
+    (gmc off vs affine) on the identical panned sequence reports both the
+    estimation overhead (same-workload FPS delta) and the quality rescue
+    (MOTA / ID switches)."""
+    import numpy as np
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    ckpt = _synthetic_checkpoints("20_gmc_pan")
+    if ckpt is None:
+        return
+    arr, gt, _ = _trained_world_frames(frames_n)
+    w = arr.shape[2]
+    pans = np.round(30.0 * np.sin(2 * np.pi * np.arange(frames_n) / 8.0)
+                    ).astype(int)
+    arr_p = np.stack([np.roll(f, shift=int(p), axis=1)
+                      for f, p in zip(arr, pans)])
+    gt_p = []
+    for (boxes, ids), p in zip(gt, pans):
+        b = boxes + np.array([p, 0, p, 0], np.float32)
+        keep = (b[:, 0] >= 0) & (b[:, 2] < w)   # rolled-out boxes wrap
+        gt_p.append((b[keep], ids[keep]))
+
+    results = {}
+    for mode in (False, "affine"):
+        pipe = TrackingPipeline(chunk_size=96, yolo_weights=ckpt[0],
+                                reid_weights=ckpt[1], gmc=mode)
+        runs, n = _timed_run(pipe, arr_p)
+        mot = _replay_quality(pipe, arr_p, gt_p)
+        results[mode] = (runs[1], mot, n)
+    on_fps, on_mot, n = results["affine"]
+    off_fps, off_mot, _ = results[False]
+    _emit("20_gmc_pan", on_fps, frames=n, method="median_of_3",
+          off_fps=round(off_fps, 1),
+          overhead_pct=round(100 * (1 - on_fps / off_fps), 1),
+          mota=round(on_mot.mota, 3), id_switches=on_mot.id_switches,
+          off_mota=round(off_mot.mota, 3),
+          off_id_switches=off_mot.id_switches,
+          note="oscillating-pan camera; reference cannot compensate")
 
 
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
@@ -929,7 +728,7 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            13: config13_yolov8x_4k, 14: config14_auto_input,
            15: config15_bytetrack_clip, 16: config16_bytetrack_trained,
            17: config17_ocsort_clip, 18: config18_ocsort_trained,
-           19: config19_ema_gallery_trained}
+           19: config19_ema_gallery_trained, 20: config20_gmc_pan}
 
 
 def main():
