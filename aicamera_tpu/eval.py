@@ -1,16 +1,19 @@
-"""Evaluation: CLEAR-MOT tracking metrics and COCO-style detection mAP.
+"""Evaluation: CLEAR-MOT + HOTA tracking metrics and COCO-style detection mAP.
 
 The reference lists MOT metrics as future work (reference README.md:212) —
 this module provides them: the CLEAR-MOT protocol with IoU-based
 frame-by-frame correspondence (Hungarian on 1-IoU with a match gate),
-tracking ID consistency across frames.
+tracking ID consistency across frames, plus HOTA (Luiten et al., IJCV
+2021 — the current MOT-challenge headline metric, which CLEAR-MOT's
+FN+FP-dominated MOTA under-weights association for).
 
-Use :func:`evaluate_mot` on per-frame (ground truth, hypothesis) box/id
-lists, e.g. to score the tracker against MOT-format annotations or to
-regression-test against a recorded golden run, and
-:func:`evaluate_detections` for detector quality (AP50/AP75/mAP@[.5:.95],
-COCO 101-point protocol) against per-frame ground truth — e.g. the exact
-boxes the synthetic world emits (``aicamera_tpu.synthetic``).
+Use :func:`evaluate_mot` / :func:`evaluate_hota` on per-frame (ground
+truth, hypothesis) box/id lists, e.g. to score the tracker against
+MOT-format annotations or to regression-test against a recorded golden
+run, and :func:`evaluate_detections` for detector quality
+(AP50/AP75/mAP@[.5:.95], COCO 101-point protocol) against per-frame
+ground truth — e.g. the exact boxes the synthetic world emits
+(``aicamera_tpu.synthetic``).
 """
 
 from __future__ import annotations
@@ -127,6 +130,123 @@ def evaluate_mot(gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
     return MOTResult(mota=mota, motp=motp, id_switches=idsw,
                      false_positives=fp, misses=fn, matches=matches,
                      num_gt=num_gt)
+
+
+@dataclasses.dataclass
+class HOTAResult:
+    """HOTA and its decomposition, each averaged over the 19 localization
+    thresholds alpha = 0.05:0.05:0.95 (the official protocol)."""
+    hota: float          # mean over alphas of sqrt(DetA(a) * AssA(a))
+    det_a: float         # detection accuracy TP/(TP+FN+FP)
+    ass_a: float         # association accuracy (mean A(c) over TPs)
+    loc_a: float         # mean IoU over TPs
+    hota_by_alpha: Dict[float, float]
+    num_gt: int
+    num_hyp: int
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+def evaluate_hota(gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+                  hyp_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+                  alphas: Sequence[float] = tuple(np.arange(0.05, 0.96,
+                                                            0.05)),
+                  ) -> HOTAResult:
+    """HOTA over a sequence (the TrackEval reference algorithm).
+
+    Two passes: first a global-alignment prior (accumulated per-frame
+    Jaccard'd similarities per (gt id, hyp id) pair), then per-frame
+    Hungarian matching on ``global_alignment * IoU`` so ties break toward
+    temporally consistent identities; a matched pair is a TP at every
+    alpha its IoU clears. ``AssA(a)`` averages, over TPs, the pair's
+    association Jaccard ``TPA / (TPA + FNA + FPA)``.
+
+    Args / returns: same per-frame (boxes_xyxy, ids) contract as
+    :func:`evaluate_mot`. All-empty ground truth yields NaN scores.
+    """
+    assert len(gt_frames) == len(hyp_frames)
+    eps = np.finfo(np.float64).eps
+    frames = []
+    gt_map: Dict[int, int] = {}
+    hyp_map: Dict[int, int] = {}
+    for (g_boxes, g_ids), (h_boxes, h_ids) in zip(gt_frames, hyp_frames):
+        g_boxes = np.asarray(g_boxes, np.float32).reshape(-1, 4)
+        h_boxes = np.asarray(h_boxes, np.float32).reshape(-1, 4)
+        gi = np.array([gt_map.setdefault(int(i), len(gt_map))
+                       for i in np.asarray(g_ids).reshape(-1)], int)
+        hi = np.array([hyp_map.setdefault(int(i), len(hyp_map))
+                       for i in np.asarray(h_ids).reshape(-1)], int)
+        frames.append((gi, hi, _iou_matrix(g_boxes, h_boxes).astype(
+            np.float64)))
+
+    n_g, n_h = len(gt_map), len(hyp_map)
+    num_gt = sum(len(gi) for gi, _, _ in frames)
+    num_hyp = sum(len(hi) for _, hi, _ in frames)
+    alphas = [float(a) for a in alphas]
+    if n_g == 0:
+        nan = float("nan")
+        return HOTAResult(nan, nan, nan, nan,
+                          {round(a, 2): nan for a in alphas}, 0, num_hyp)
+
+    # pass 1: global alignment prior
+    potential = np.zeros((n_g, n_h), np.float64)
+    g_count = np.zeros(n_g, np.float64)
+    h_count = np.zeros(n_h, np.float64)
+    for gi, hi, sim in frames:
+        if len(gi) and len(hi):
+            denom = sim.sum(0)[None, :] + sim.sum(1)[:, None] - sim
+            j = np.zeros_like(sim)
+            m = denom > eps
+            j[m] = sim[m] / denom[m]
+            potential[np.ix_(gi, hi)] += j
+        g_count[gi] += 1
+        h_count[hi] += 1
+    align = potential / np.maximum(
+        g_count[:, None] + h_count[None, :] - potential, eps)
+
+    # pass 2: per-frame matching, TP/FN/FP + pair counts per alpha
+    n_a = len(alphas)
+    tp = np.zeros(n_a)
+    fn = np.zeros(n_a)
+    fp = np.zeros(n_a)
+    loc = np.zeros(n_a)
+    pair = [np.zeros((n_g, n_h), np.float64) for _ in range(n_a)]
+    for gi, hi, sim in frames:
+        if len(gi) and len(hi):
+            score = align[np.ix_(gi, hi)] * sim
+            r, c = linear_sum_assignment(-score)
+            matched_sim = sim[r, c]
+        else:
+            r = c = np.zeros(0, int)
+            matched_sim = np.zeros(0)
+        for a, alpha in enumerate(alphas):
+            ok = matched_sim >= alpha - eps
+            k = int(ok.sum())
+            tp[a] += k
+            fn[a] += len(gi) - k
+            fp[a] += len(hi) - k
+            loc[a] += float(matched_sim[ok].sum())
+            if k:
+                pair[a][gi[r[ok]], hi[c[ok]]] += 1
+
+    hota_a = np.zeros(n_a)
+    det_a = np.zeros(n_a)
+    ass_a = np.zeros(n_a)
+    loc_a = np.zeros(n_a)
+    for a in range(n_a):
+        ass_iou = pair[a] / np.maximum(
+            g_count[:, None] + h_count[None, :] - pair[a], eps)
+        ass_a[a] = float((pair[a] * ass_iou).sum()) / max(tp[a], 1.0)
+        det_a[a] = tp[a] / max(tp[a] + fn[a] + fp[a], 1.0)
+        loc_a[a] = loc[a] / max(tp[a], 1.0)
+        hota_a[a] = float(np.sqrt(det_a[a] * ass_a[a]))
+    return HOTAResult(
+        hota=float(hota_a.mean()), det_a=float(det_a.mean()),
+        ass_a=float(ass_a.mean()), loc_a=float(loc_a.mean()),
+        hota_by_alpha={round(al, 2): float(h)
+                       for al, h in zip(alphas, hota_a)},
+        num_gt=num_gt, num_hyp=num_hyp)
 
 
 @dataclasses.dataclass

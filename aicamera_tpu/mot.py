@@ -123,6 +123,18 @@ def evaluate_sequence(gt_path: str | Path, result_path: str | Path,
     return evaluate_mot(gt_list, hyp_list, iou_threshold=iou_threshold)
 
 
+def evaluate_sequence_hota(gt_path: str | Path,
+                           result_path: str | Path) -> "HOTAResult":
+    """HOTA for one sequence's results file against its gt.txt
+    (eval.py::evaluate_hota — the MOT-challenge headline metric)."""
+    from .eval import evaluate_hota
+    gt = load_mot_file(gt_path, min_confidence=1,
+                       target_classes=GT_TARGET_CLASSES)
+    hyp = load_mot_file(result_path)
+    gt_list, hyp_list = _frames_to_eval_lists(gt, hyp)
+    return evaluate_hota(gt_list, hyp_list)
+
+
 def aggregate(results: Dict[str, MOTResult]) -> MOTResult:
     """Pool raw error counts across sequences (the devkit OVERALL row)."""
     fp = sum(r.false_positives for r in results.values())
@@ -222,6 +234,7 @@ def main(argv=None):
                   f"boxes over {len(hyp)} frames")
 
     results: Dict[str, MOTResult] = {}
+    hotas = {}
     for seq in seqs:
         gt_path = seq / "gt" / "gt.txt"
         res_path = out_dir / f"{seq.name}.txt"
@@ -231,8 +244,15 @@ def main(argv=None):
             continue
         results[seq.name] = evaluate_sequence(gt_path, res_path,
                                               iou_threshold=args.iou)
+        hotas[seq.name] = evaluate_sequence_hota(gt_path, res_path)
 
-    report = {name: r.as_dict() for name, r in results.items()}
+    report = {}
+    for name, r in results.items():
+        row = r.as_dict()
+        h = hotas[name]
+        row.update(hota=round(h.hota, 4), det_a=round(h.det_a, 4),
+                   ass_a=round(h.ass_a, 4))
+        report[name] = row
     if results:
         report["OVERALL"] = aggregate(results).as_dict()
     print(json.dumps(report, indent=2))

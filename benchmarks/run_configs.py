@@ -169,11 +169,11 @@ def _synthetic_checkpoints(config_name):
 def _replay_quality(pipe, arr, gt, frames=96, score_from=5,
                     collect_dets=False):
     """Replay ``frames`` frames through the host-facing process_frames path
-    and score CLEAR-MOT vs ground truth over [score_from:frames] (the
-    first frames are the trackers' n_init/min_hits warm-up). Optionally
-    also returns the per-frame detection outputs for AP scoring."""
+    and score CLEAR-MOT + HOTA vs ground truth over [score_from:frames]
+    (the first frames are the trackers' n_init/min_hits warm-up).
+    Returns (MOTResult, HOTAResult[, per-frame detections for AP])."""
     import numpy as np
-    from aicamera_tpu.eval import evaluate_mot
+    from aicamera_tpu.eval import evaluate_hota, evaluate_mot
     pipe.reset()
     hyp, preds = [], []
     for res in pipe.process_frames(iter(list(arr[:frames]))):
@@ -185,7 +185,8 @@ def _replay_quality(pipe, arr, gt, frames=96, score_from=5,
                         np.zeros((0,), np.int64)))
         preds.append((res.det_boxes, res.det_scores, res.det_labels))
     mot = evaluate_mot(gt[score_from:frames], hyp[score_from:frames])
-    return (mot, preds) if collect_dets else mot
+    hota = evaluate_hota(gt[score_from:frames], hyp[score_from:frames])
+    return (mot, hota, preds) if collect_dets else (mot, hota)
 
 
 def config2_detect_clip(frames_n=500):
@@ -371,7 +372,7 @@ def config9_synthetic_trained(frames_n=288):
     runs, n = _timed_run(pipe, arr)
 
     # tracking + detection quality sanity on the same sequence
-    mot, preds = _replay_quality(pipe, arr, gt, collect_dets=True)
+    mot, hota, preds = _replay_quality(pipe, arr, gt, collect_dets=True)
     ap = evaluate_detections(gt_det[:96], preds)
     # AP here scores the pipeline's emitted detections, which carry its
     # confidence threshold — a lower bound on full-PR-curve COCO AP
@@ -379,6 +380,7 @@ def config9_synthetic_trained(frames_n=288):
     _emit("9_synthetic_trained_tracking", runs[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
           motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          hota=round(hota.hota, 3), ass_a=round(hota.ass_a, 3),
           ap50=round(ap.ap50, 3), map_5095=round(ap.map_5095, 3),
           ap_at_conf=pipe.conf_threshold)
 
@@ -599,10 +601,11 @@ def config16_bytetrack_trained(frames_n=288):
     pipe = TrackingPipeline(chunk_size=96, tracker="bytetrack",
                             yolo_weights=ckpt[0])
     runs, n = _timed_run(pipe, arr)
-    mot = _replay_quality(pipe, arr, gt)
+    mot, hota = _replay_quality(pipe, arr, gt)
     _emit("16_bytetrack_trained", runs[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
           motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          hota=round(hota.hota, 3),
           note="same workload as config 9; motion-only tracker")
 
 
@@ -633,10 +636,11 @@ def config18_ocsort_trained(frames_n=288):
     pipe = TrackingPipeline(chunk_size=96, tracker="ocsort",
                             yolo_weights=ckpt[0])
     runs, n = _timed_run(pipe, arr)
-    mot = _replay_quality(pipe, arr, gt)
+    mot, hota = _replay_quality(pipe, arr, gt)
     _emit("18_ocsort_trained", runs[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
           motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          hota=round(hota.hota, 3),
           note="same workload as configs 9/16; det_thresh=0.6 gate")
 
 
@@ -667,10 +671,11 @@ def config19_ema_gallery_trained(frames_n=288):
         chunk_size=96, yolo_weights=ckpt[0], reid_weights=ckpt[1],
         tracker_params=params)
     runs, n = _timed_run(pipe, arr)
-    mot = _replay_quality(pipe, arr, gt)
+    mot, hota = _replay_quality(pipe, arr, gt)
     _emit("19_ema_gallery_trained", runs[1], frames=n,
           method="median_of_3", mota=round(mot.mota, 3),
           motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          hota=round(hota.hota, 3),
           note="config 9 workload with gallery_strategy=ema alpha=0.9")
 
 
@@ -706,16 +711,18 @@ def config20_gmc_pan(frames_n=288):
         pipe = TrackingPipeline(chunk_size=96, yolo_weights=ckpt[0],
                                 reid_weights=ckpt[1], gmc=mode)
         runs, n = _timed_run(pipe, arr_p)
-        mot = _replay_quality(pipe, arr_p, gt_p)
-        results[mode] = (runs[1], mot, n)
-    on_fps, on_mot, n = results["affine"]
-    off_fps, off_mot, _ = results[False]
+        mot, hota = _replay_quality(pipe, arr_p, gt_p)
+        results[mode] = (runs[1], mot, hota, n)
+    on_fps, on_mot, on_hota, n = results["affine"]
+    off_fps, off_mot, off_hota, _ = results[False]
     _emit("20_gmc_pan", on_fps, frames=n, method="median_of_3",
           off_fps=round(off_fps, 1),
           overhead_pct=round(100 * (1 - on_fps / off_fps), 1),
           mota=round(on_mot.mota, 3), id_switches=on_mot.id_switches,
+          hota=round(on_hota.hota, 3),
           off_mota=round(off_mot.mota, 3),
           off_id_switches=off_mot.id_switches,
+          off_hota=round(off_hota.hota, 3),
           note="oscillating-pan camera; reference cannot compensate")
 
 
