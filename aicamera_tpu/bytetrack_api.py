@@ -41,11 +41,21 @@ class ByteTrack:
                  frame_rate: int = 30,
                  fuse_score: bool = True,
                  max_tracks: int = config.MAX_TRACKS,
-                 max_detections: int = config.MAX_DETECTIONS):
+                 max_detections: int = config.MAX_DETECTIONS,
+                 gmc: str | bool = False):
         """``track_buffer`` scales with ``frame_rate`` exactly like the
         official tracker: ``max_time_lost = frame_rate / 30 * track_buffer``.
+
+        ``gmc``: camera-motion compensation (``"affine"``/``True`` or
+        ``"translation"``; :mod:`.ops.gmc`). ByteTrack + GMC is exactly
+        BoT-SORT's compensated motion model. Requires the frame argument
+        on every :meth:`update`.
         """
         enable_persistent_cache()
+        self._gmc = None
+        if gmc not in (False, None, "off", "none", ""):
+            from .ops.gmc import GMCEstimator
+            self._gmc = GMCEstimator("affine" if gmc is True else str(gmc))
         self.params = bt.ByteTrackParams(
             track_thresh=float(track_thresh),
             match_thresh=float(match_thresh),
@@ -67,6 +77,8 @@ class ByteTrack:
         self.state = bt.init_state(self.params)
         self.frame_count = 0
         self._dropped_host = 0
+        if self._gmc is not None:
+            self._gmc.reset()
 
     @property
     def dropped_detections(self) -> int:
@@ -129,10 +141,15 @@ class ByteTrack:
             d_cls[:k] = clss[keep]
             d_valid[:k] = True
 
+        g = None
+        if self._gmc is not None:
+            if original_frame_bgr is None:
+                raise ValueError("gmc is enabled: update() needs the frame")
+            g = self._gmc.step(original_frame_bgr)
         dets = bt.ByteDetections(
             tlwh=jnp.asarray(d_tlwh), score=jnp.asarray(d_conf),
             class_id=jnp.asarray(d_cls), valid=jnp.asarray(d_valid))
-        self.state = bt.step(self.state, dets, p)
+        self.state = bt.step(self.state, dets, p, gmc=g)
         tlbr, ids, cls_ids, scores, mask = jax.device_get(
             bt.get_outputs(self.state))
 

@@ -39,8 +39,17 @@ class OCSort:
                  delta_t: int = 3,
                  inertia: float = 0.2,
                  max_tracks: int = config.MAX_TRACKS,
-                 max_detections: int = config.MAX_DETECTIONS):
+                 max_detections: int = config.MAX_DETECTIONS,
+                 gmc: str | bool = False):
+        """``gmc``: camera-motion compensation (``"affine"``/``True`` or
+        ``"translation"``; :mod:`.ops.gmc`) — warps the Kalman bank AND
+        OC-SORT's observation history each frame. Requires the frame
+        argument on every :meth:`update`."""
         enable_persistent_cache()
+        self._gmc = None
+        if gmc not in (False, None, "off", "none", ""):
+            from .ops.gmc import GMCEstimator
+            self._gmc = GMCEstimator("affine" if gmc is True else str(gmc))
         self.params = oc.OCSortParams(
             det_thresh=float(det_thresh),
             max_age=int(max_age),
@@ -64,6 +73,8 @@ class OCSort:
         self.state = oc.init_state(self.params)
         self.frame_count = 0
         self._dropped_host = 0
+        if self._gmc is not None:
+            self._gmc.reset()
 
     @property
     def dropped_detections(self) -> int:
@@ -123,11 +134,16 @@ class OCSort:
             d_cls[:k] = clss[keep]
             d_valid[:k] = True
 
+        g = None
+        if self._gmc is not None:
+            if original_frame_bgr is None:
+                raise ValueError("gmc is enabled: update() needs the frame")
+            g = self._gmc.step(original_frame_bgr)
         import jax.numpy as jnp
         dets = oc.OCSortDetections(
             xyxy=jnp.asarray(d_xyxy), score=jnp.asarray(d_conf),
             class_id=jnp.asarray(d_cls), valid=jnp.asarray(d_valid))
-        self.state = oc.step(self.state, dets, p)
+        self.state = oc.step(self.state, dets, p, gmc=g)
         box, ids, cls_ids, scores, mask = jax.device_get(
             oc.get_outputs(self.state, p))
 

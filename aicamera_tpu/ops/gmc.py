@@ -236,6 +236,43 @@ def estimate_chunk(prev_frame_u8: jnp.ndarray, frames_u8: jnp.ndarray,
     return jax.vmap(lambda d, c: _fit_motion(d, c, spec, method))(disp, conf)
 
 
+class GMCEstimator:
+    """Host-driven per-frame estimation for the facade APIs.
+
+    Keeps the previous frame and returns the camera ``(A, t)`` for each
+    new one via a cached jitted pair estimate (one small extra dispatch
+    per frame — the facades are per-frame host loops already; the fused
+    chunk pipeline instead folds :func:`estimate_chunk` into its own
+    program). The first frame of a stream yields the identity.
+    """
+
+    def __init__(self, method: str = "affine"):
+        if method not in ("affine", "translation"):
+            raise ValueError(f"gmc method must be 'affine' or "
+                             f"'translation' (got {method!r})")
+        self.method = method
+        self._prev = None
+        self._fns = {}
+
+    def reset(self):
+        self._prev = None
+
+    def step(self, frame_bgr):
+        """(H, W, 3) uint8 -> device ``(A (2,2), t (2,))``."""
+        import numpy as np
+        frame_bgr = np.ascontiguousarray(frame_bgr)
+        hw = frame_bgr.shape[:2]
+        if hw not in self._fns:
+            spec = gmc_spec(hw)
+            self._fns[hw] = jax.jit(lambda a, b: estimate_pair(
+                gray_pooled(a, spec), gray_pooled(b, spec), spec,
+                self.method))
+        prev = self._prev if self._prev is not None else frame_bgr
+        out = self._fns[hw](jnp.asarray(prev), jnp.asarray(frame_bgr))
+        self._prev = frame_bgr.copy()  # callers may reuse their buffer
+        return out
+
+
 # --- Kalman-bank warps -----------------------------------------------------------
 
 def _safe_det(a_mat: jnp.ndarray) -> jnp.ndarray:

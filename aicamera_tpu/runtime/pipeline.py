@@ -388,9 +388,13 @@ class TrackingPipeline:
                  prev_frame=None):
             if use_gmc:
                 # camera motion per frame, estimated inside the same
-                # program (K+1 pooled-gray FFts; no host round trip)
+                # program (K+1 pooled-gray FFTs; no host round trip).
+                # Callers that drive the raw step without a prev frame
+                # (benchmark timing passes) get identity motion at the
+                # chunk head; _dispatch_chunk always carries the real one.
+                prev = frames[0] if prev_frame is None else prev_frame
                 g_a, g_t = gmc_ops.estimate_chunk(
-                    prev_frame, frames, gspec, self.gmc_method)
+                    prev, frames, gspec, self.gmc_method)
                 gmc_xs = (g_a, g_t)
             else:
                 gmc_xs = ()

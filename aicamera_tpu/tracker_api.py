@@ -160,7 +160,8 @@ class DeepSORT:
                  max_reid_crops: int = config.MAX_REID_CROPS,
                  capture_features: bool = False,
                  gallery_strategy: str = "fifo",
-                 ema_alpha: float = 0.9):
+                 ema_alpha: float = 0.9,
+                 gmc: str | bool = False):
         """Deviation from the reference: ``nn_budget=None`` means an
         unlimited feature gallery there (tracker_core.py:20), but the
         fixed-shape device state needs a static ring size, so ``None`` is
@@ -182,8 +183,18 @@ class DeepSORT:
         embedding per track (blend factor ``ema_alpha``), the "smarter
         gallery management" enhancement from the reference's README
         future-work list — cheaper (gallery shrinks to one slot) and
-        more drift-robust on long occlusions."""
+        more drift-robust on long occlusions.
+
+        ``gmc`` (``"affine"``/``True`` or ``"translation"``): camera-
+        motion compensation (:mod:`.ops.gmc`) — the per-frame camera
+        affine warps the Kalman bank between predict and association
+        (BoT-SORT ordering). DeepSORT + EMA gallery + GMC together are
+        the full StrongSORT/BoT-SORT-style upgrade stack."""
         enable_persistent_cache()
+        self._gmc = None
+        if gmc not in (False, None, "off", "none", ""):
+            from .ops.gmc import GMCEstimator
+            self._gmc = GMCEstimator("affine" if gmc is True else str(gmc))
         if gallery_strategy not in ("fifo", "ema"):
             raise ValueError(
                 f"gallery_strategy must be 'fifo' or 'ema' "
@@ -233,6 +244,8 @@ class DeepSORT:
         self.state = core_state.init_state(self.params)
         self.frame_count = 0
         self._dropped_host = 0
+        if self._gmc is not None:
+            self._gmc.reset()
 
     @property
     def dropped_detections(self) -> int:
@@ -274,7 +287,10 @@ class DeepSORT:
         n_crops = self.max_reid_crops
         reid_apply = self.reid_model.device_apply
 
-        def step(reid_params, state, frame_u8, d_xyxy, d_conf, d_cls, d_valid):
+        use_gmc = self._gmc is not None
+
+        def step(reid_params, state, frame_u8, d_xyxy, d_conf, d_cls,
+                 d_valid, gmc=None):
             crops, crop_valid = extract_reid_crops(
                 frame_u8, d_xyxy[:n_crops],
                 out_hw=self.reid_model.input_shape)
@@ -289,6 +305,11 @@ class DeepSORT:
                               feature=d_feats, has_feature=d_hasfeat,
                               valid=d_valid)
             state = core_tracker.predict(state, p)
+            if use_gmc:
+                from .ops.gmc import warp_xyah_bank
+                m, c = warp_xyah_bank(state.mean, state.cov, gmc[0],
+                                      gmc[1], state.active)
+                state = state.replace(mean=m, cov=c)
             state = core_tracker.update(state, dets, p)
             outs = core_tracker.get_outputs(state)
             if self._capture:
@@ -351,11 +372,14 @@ class DeepSORT:
             d_valid[:k] = True
 
         step = self._get_step(original_frame_bgr.shape[:2])
+        extra = {}
+        if self._gmc is not None:
+            extra["gmc"] = self._gmc.step(original_frame_bgr)
         self.state, outs = step(
             self.reid_model.params, self.state,
             jnp.asarray(original_frame_bgr),
             jnp.asarray(d_xyxy), jnp.asarray(d_conf),
-            jnp.asarray(d_cls), jnp.asarray(d_valid))
+            jnp.asarray(d_cls), jnp.asarray(d_valid), **extra)
         if self._capture:
             outs, d_feats, d_hasfeat = outs
             self.last_tlwh = np.concatenate(

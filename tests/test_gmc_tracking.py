@@ -131,6 +131,46 @@ def test_oscillating_pan_keeps_one_id_with_gmc(runner):
         (without, with_gmc)
 
 
+@pytest.mark.parametrize("kind", ["deepsort", "bytetrack", "ocsort"])
+def test_facade_gmc_keeps_one_id(kind):
+    """The reference-contract facades with gmc= on the same oscillating
+    pan: one stable ID with compensation, churn without."""
+    frames, boxes = _scene()
+
+    def run(use_gmc):
+        g = "affine" if use_gmc else False
+        if kind == "deepsort":
+            from aicamera_tpu.tracker_api import DeepSORT
+            tr = DeepSORT(n_init=2, max_age=5, gmc=g)
+        elif kind == "bytetrack":
+            from aicamera_tpu.bytetrack_api import ByteTrack
+            tr = ByteTrack(gmc=g)
+        else:
+            from aicamera_tpu.ocsort_api import OCSort
+            tr = OCSort(min_hits=2, gmc=g)
+        seen = []
+        for frame, box in zip(frames, boxes):
+            out = tr.update(box[None], np.array([0.9], np.float32),
+                            np.array([0], np.int32), frame)
+            seen.extend(t[4] for t in out)
+        return seen
+
+    with_gmc = run(True)
+    without = run(False)
+    assert len(set(with_gmc)) == 1, with_gmc
+    assert len(with_gmc) >= N_FRAMES - 4, with_gmc
+    assert (len(set(without)) > 1) or (len(without) < len(with_gmc)), \
+        (without, with_gmc)
+
+
+def test_facade_gmc_requires_frame():
+    from aicamera_tpu.bytetrack_api import ByteTrack
+    tr = ByteTrack(gmc=True)
+    with pytest.raises(ValueError):
+        tr.update(np.zeros((1, 4), np.float32), np.array([0.9]),
+                  np.array([0]), None)
+
+
 def test_pipeline_gmc_smoke_and_carry():
     """TrackingPipeline(gmc=...) compiles, runs chunked, carries the
     prev-frame across chunks, and reset() clears it."""
