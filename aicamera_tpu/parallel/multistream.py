@@ -89,10 +89,27 @@ class MultiStreamPipeline:
                  letterbox_auto: bool = False,
                  tracker: str = "deepsort",
                  bytetrack_params: "bt_core.ByteTrackParams | None" = None,
-                 ocsort_params: "oc_core.OCSortParams | None" = None):
+                 ocsort_params: "oc_core.OCSortParams | None" = None,
+                 gmc: str | bool = False):
         self.n_streams = int(n_streams)
         self.frame_hw = tuple(frame_hw)
         self.mesh = mesh
+        # camera-motion compensation (see TrackingPipeline's gmc docstring):
+        # estimated per stream inside the program — stream-local FFTs and
+        # fits, so the zero-hot-path-collectives invariant holds on a mesh.
+        # With frame_valid masking, masked slots should repeat the stream's
+        # last valid frame (identity motion) so the estimate chain stays
+        # meaningful; the tracker itself skips masked steps either way.
+        if gmc in (False, None, "off", "none", ""):
+            self.gmc_method = None
+        elif gmc in (True, "affine"):
+            self.gmc_method = "affine"
+        elif gmc == "translation":
+            self.gmc_method = "translation"
+        else:
+            raise ValueError(f"gmc must be off/affine/translation or a "
+                             f"bool (got {gmc!r})")
+        self._gmc_prev = None          # (S, H, W, 3) host carry
         # alternative tracker cores (same semantics as TrackingPipeline's
         # ``tracker`` argument): motion-only, no ReID stage in the device
         # program; ByteTrack additionally surfaces low-score boxes
@@ -208,10 +225,23 @@ class MultiStreamPipeline:
         with_reid = not (bytetrack or ocsort)
         n_crops = self.max_reid_crops
         s = self.n_streams
+        use_gmc = self.gmc_method is not None
+        if use_gmc:
+            from ..ops import gmc as gmc_ops
+            gspec = gmc_ops.gmc_spec(self.frame_hw)
+
+        def _split_rest(rest):
+            """Trailing per-stream args: [g_a, g_t,] [frame_valid]."""
+            if use_gmc:
+                f_gmc, rest = (rest[0], rest[1]), rest[2:]
+            else:
+                f_gmc = None
+            return f_gmc, (rest[0] if rest else None)
 
         def make_per_stream_track(pp):
             def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
-                                 feats, crop_valid, frame_valid=None):
+                                 feats, crop_valid, *rest):
+                f_gmc, frame_valid = _split_rest(rest)
                 d_feats = jnp.zeros((n_det, pp.feature_dim), jnp.float32)
                 d_feats = d_feats.at[:n_crops].set(feats.astype(jnp.float32))
                 d_hasfeat = jnp.zeros((n_det,), jnp.bool_).at[:n_crops].set(
@@ -224,6 +254,11 @@ class MultiStreamPipeline:
 
                 def do(st):
                     st = core_tracker.predict(st, pp)
+                    if f_gmc is not None:
+                        from ..ops.gmc import warp_xyah_bank
+                        m, c = warp_xyah_bank(st.mean, st.cov, f_gmc[0],
+                                              f_gmc[1], st.active)
+                        st = st.replace(mean=m, cov=c)
                     return core_tracker.update(st, dets, pp)
 
                 if frame_valid is None:
@@ -243,11 +278,12 @@ class MultiStreamPipeline:
             capacity-bucketed scan can rebuild it at a reduced
             ``max_tracks``."""
             def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
-                                 frame_valid=None):
+                                 *rest):
+                f_gmc, frame_valid = _split_rest(rest)
                 dets = make_dets(d_xyxy, d_conf, d_cls, d_valid)
 
                 def do(st):
-                    return step_fn(st, dets, pp)
+                    return step_fn(st, dets, pp, f_gmc)
 
                 if frame_valid is None:
                     state = do(state)
@@ -360,14 +396,27 @@ class MultiStreamPipeline:
                 idx, [make_branch(b) for b in buckets], operand=None)
             return d_xyxy, d_conf, d_cls, d_valid, feats, crop_valid
 
-        def step(yolo_params, reid_params, states, frames):
+        def stream_gmc(prev_frames, frames_sk):
+            """Per-stream camera motion: (S,H,W,3), (S,K,...) ->
+            (S,K,2,2), (S,K,2). vmapped over streams — stream-local."""
+            from ..ops import gmc as gmc_ops
+            return jax.vmap(lambda pf, fs: gmc_ops.estimate_chunk(
+                pf, fs, gspec, self.gmc_method))(prev_frames, frames_sk)
+
+        def step(yolo_params, reid_params, states, frames,
+                 prev_frames=None):
             # frames: (S, H, W, 3) uint8 — one frame per stream per step
             dets = detect_and_embed(yolo_params, reid_params, frames)
-            states, outs = jax.vmap(per_stream_track)(states, *dets)
+            extra = ()
+            if use_gmc:
+                prev = frames if prev_frames is None else prev_frames
+                g_a, g_t = stream_gmc(prev, frames[:, None])
+                extra = (g_a[:, 0], g_t[:, 0])
+            states, outs = jax.vmap(per_stream_track)(states, *dets, *extra)
             return states, outs
 
         def chunk_step(yolo_params, reid_params, states, frames,
-                       frame_valid=None):
+                       frame_valid=None, prev_frames=None):
             # frames: (S, K, H, W, 3) — K frames per stream per dispatch.
             # All S*K frames ride one detection/ReID batch; the per-stream
             # tracker scans over time inside the same program.
@@ -381,6 +430,10 @@ class MultiStreamPipeline:
             dets = jax.tree.map(
                 lambda a: a.reshape(s_, k_, *a.shape[1:]).swapaxes(0, 1),
                 tuple(dets))
+            if use_gmc:
+                prev = frames[:, 0] if prev_frames is None else prev_frames
+                g_a, g_t = stream_gmc(prev, frames)
+                dets = dets + (g_a.swapaxes(0, 1), g_t.swapaxes(0, 1))
             if frame_valid is not None:
                 dets = dets + (frame_valid.swapaxes(0, 1),)
 
@@ -471,6 +524,24 @@ class MultiStreamPipeline:
         self._jit_with_shardings = jit_with_shardings
         self._chunk_step_raw = chunk_step
         self._chunk_step_masked = None  # compiled on first masked use
+        if use_gmc:
+            # positional variants so every compiled signature stays
+            # keyword-free (in_shardings maps positional args only) and
+            # the unmasked path keeps its cond-free scan body
+            def step_g(y, r, st, frames, prev):
+                return step(y, r, st, frames, prev_frames=prev)
+
+            def chunk_g(y, r, st, frames, prev):
+                return chunk_step(y, r, st, frames, prev_frames=prev)
+
+            def chunk_g_masked(y, r, st, frames, fv, prev):
+                return chunk_step(y, r, st, frames, fv, prev)
+
+            self._chunk_step_raw = chunk_g_masked
+            self._masked_extra = 2  # frame_valid + prev_frames
+            return (jit_with_shardings(step_g, 1),
+                    jit_with_shardings(chunk_g, 1))
+        self._masked_extra = 1
         return jit_with_shardings(step), jit_with_shardings(chunk_step)
 
     def step(self, frames: np.ndarray):
@@ -483,9 +554,21 @@ class MultiStreamPipeline:
             per-stream track outputs (tlbr, ids, cls, conf, mask), each with
             a leading stream axis (device arrays, async).
         """
-        frames = jnp.asarray(frames)
+        frames_np = np.asarray(frames)
+        frames = jnp.asarray(frames_np)
         if self._frames_sharding is not None:
             frames = jax.device_put(frames, self._frames_sharding)
+        if self.gmc_method is not None:
+            prev_np = (self._gmc_prev if self._gmc_prev is not None
+                       else frames_np)
+            prev = jnp.asarray(prev_np)
+            if self._frames_sharding is not None:
+                prev = jax.device_put(prev, self._frames_sharding)
+            self._gmc_prev = frames_np.copy()
+            self.states, outs = self._step(
+                self.yolo_params, self.reid_params, self.states, frames,
+                prev)
+            return outs
         self.states, outs = self._step(
             self.yolo_params, self.reid_params, self.states, frames)
         return outs
@@ -505,21 +588,45 @@ class MultiStreamPipeline:
         Returns:
             per-stream track outputs, each with shape ``(S, K, ...)``.
         """
-        frames = jnp.asarray(frames)
+        frames_np = np.asarray(frames)
+        frames = jnp.asarray(frames_np)
         if self._frames_sharding is not None:
             frames = jax.device_put(frames, self._frames_sharding)
+        extra = ()
+        if self.gmc_method is not None:
+            prev_np = (self._gmc_prev if self._gmc_prev is not None
+                       else frames_np[:, 0])
+            prev = jnp.asarray(prev_np)
+            if self._frames_sharding is not None:
+                prev = jax.device_put(prev, self._frames_sharding)
+            extra = (prev,)
+            # carry each stream's last VALID frame into the next dispatch
+            if frame_valid is None:
+                self._gmc_prev = frames_np[:, -1].copy()
+            else:
+                fv_np = np.asarray(frame_valid, bool)
+                nxt = (self._gmc_prev.copy()
+                       if self._gmc_prev is not None else prev_np.copy())
+                for si in range(fv_np.shape[0]):
+                    idx = np.flatnonzero(fv_np[si])
+                    if len(idx):
+                        nxt[si] = frames_np[si, idx[-1]]
+                self._gmc_prev = nxt
         if frame_valid is None:
             self.states, outs = self._chunk_step(
-                self.yolo_params, self.reid_params, self.states, frames)
+                self.yolo_params, self.reid_params, self.states, frames,
+                *extra)
             return outs
         if self._chunk_step_masked is None:
             self._chunk_step_masked = self._jit_with_shardings(
-                self._chunk_step_raw, n_extra_stream_args=1)
+                self._chunk_step_raw,
+                n_extra_stream_args=self._masked_extra)
         fv = jnp.asarray(frame_valid, bool)
         if self._frames_sharding is not None:
             fv = jax.device_put(fv, self._frames_sharding)
         self.states, outs = self._chunk_step_masked(
-            self.yolo_params, self.reid_params, self.states, frames, fv)
+            self.yolo_params, self.reid_params, self.states, frames, fv,
+            *extra)
         return outs
 
     def reset_stream(self, i: int):

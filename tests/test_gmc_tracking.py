@@ -194,6 +194,52 @@ def test_pipeline_gmc_smoke_and_carry():
         TrackingPipeline(variant="n", gmc="bogus")
 
 
+@pytest.mark.parametrize("kind", ["deepsort", "ocsort"])
+def test_multistream_gmc_smoke_carry_and_masking(kind):
+    """MultiStreamPipeline(gmc=...): runs for reid and motion cores,
+    carries per-stream prev frames, and with frame_valid masking only
+    valid slots advance the carry."""
+    from aicamera_tpu.parallel import MultiStreamPipeline
+    pipe = MultiStreamPipeline(
+        n_streams=2, frame_hw=(96, 128), input_shape=(128, 128),
+        gmc="affine", tracker=kind, scan_bucket=0)
+    rng = np.random.RandomState(0)
+    c1 = rng.randint(0, 255, (2, 3, 96, 128, 3), np.uint8)
+    c2 = rng.randint(0, 255, (2, 3, 96, 128, 3), np.uint8)
+    pipe.step_chunk(c1)
+    np.testing.assert_array_equal(pipe._gmc_prev, c1[:, -1])
+    # masked: stream 0 valid through slot 1, stream 1 fully invalid
+    fv = np.array([[True, True, False], [False, False, False]])
+    pipe.step_chunk(c2, frame_valid=fv)
+    np.testing.assert_array_equal(pipe._gmc_prev[0], c2[0, 1])
+    np.testing.assert_array_equal(pipe._gmc_prev[1], c1[1, -1])
+    # single-frame step path shares the carry machinery
+    pipe2 = MultiStreamPipeline(
+        n_streams=2, frame_hw=(96, 128), input_shape=(128, 128),
+        gmc="translation", tracker=kind, scan_bucket=0)
+    f = rng.randint(0, 255, (2, 96, 128, 3), np.uint8)
+    pipe2.step(f)
+    np.testing.assert_array_equal(pipe2._gmc_prev, f)
+
+
+def test_multistream_gmc_stream_symmetry():
+    """Two identical streams through a gmc pipeline must stay identical
+    (the per-stream estimate and warp are stream-local)."""
+    from aicamera_tpu.parallel import MultiStreamPipeline
+    rng = np.random.RandomState(5)
+    base = np.stack([cv2.GaussianBlur(
+        rng.randint(0, 255, (96, 128, 3), np.uint8), (3, 3), 0)
+        for _ in range(4)])
+    frames = np.stack([base, base])  # (2, K, H, W, 3), same content
+    pipe = MultiStreamPipeline(
+        n_streams=2, frame_hw=(96, 128), input_shape=(128, 128),
+        conf_threshold=0.05, min_detection_confidence=0.05,
+        gmc="affine", scan_bucket=0)
+    outs = jax.device_get(pipe.step_chunk(frames))
+    for leaf in outs:
+        np.testing.assert_array_equal(leaf[0], leaf[1])
+
+
 def test_pipeline_gmc_static_scene_matches_off():
     """On a static camera the estimate is ~identity, so gmc on/off must
     produce the same track IDs (the warp is then a numerical no-op at
