@@ -240,6 +240,35 @@ def test_multistream_gmc_stream_symmetry():
         np.testing.assert_array_equal(leaf[0], leaf[1])
 
 
+def test_bucketed_scan_with_gmc_equals_full():
+    """Capacity-bucketed scan under GMC: the warp is active-masked, so
+    slicing+warping commutes with warping+slicing — outputs and final
+    state must be bitwise equal to the unbucketed run."""
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    rng = np.random.RandomState(11)
+    frames = [cv2.GaussianBlur(
+        rng.randint(0, 255, (96, 128, 3), np.uint8), (3, 3), 0)
+        for _ in range(6)]
+
+    def run(bucket):
+        pipe = TrackingPipeline(
+            variant="n", input_shape=(128, 128), chunk_size=3,
+            conf_threshold=0.05, min_detection_confidence=0.05,
+            gmc="affine", scan_bucket=bucket,
+            tracker_params=core_state.TrackerParams(
+                max_tracks=64, max_detections=16, n_init=2,
+                feature_dim=512))
+        outs = [r.tracks for r in pipe.process_frames(iter(frames),
+                                                      chunk_size=3)]
+        return outs, jax.device_get(pipe.state)
+
+    outs_b, state_b = run(16)
+    outs_f, state_f = run(0)
+    assert outs_b == outs_f
+    for a, b in zip(jax.tree.leaves(state_b), jax.tree.leaves(state_f)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_pipeline_gmc_static_scene_matches_off():
     """On a static camera the estimate is ~identity, so gmc on/off must
     produce the same track IDs (the warp is then a numerical no-op at
