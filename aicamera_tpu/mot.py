@@ -217,6 +217,10 @@ def main(argv=None):
     ap.add_argument("--tracker", default="deepsort",
                     choices=("deepsort", "bytetrack", "ocsort"),
                     help="tracker core to run (--run mode)")
+    ap.add_argument("--gsi", action="store_true",
+                    help="also score GSI-post-processed results "
+                         "(postprocess.gsi_smooth: gap interpolation + "
+                         "GP smoothing) and write <seq>.gsi.txt")
     args = ap.parse_args(argv)
 
     seqs = discover_sequences(args.data)
@@ -235,6 +239,7 @@ def main(argv=None):
 
     results: Dict[str, MOTResult] = {}
     hotas = {}
+    gsis = {}
     for seq in seqs:
         gt_path = seq / "gt" / "gt.txt"
         res_path = out_dir / f"{seq.name}.txt"
@@ -245,6 +250,22 @@ def main(argv=None):
         results[seq.name] = evaluate_sequence(gt_path, res_path,
                                               iou_threshold=args.iou)
         hotas[seq.name] = evaluate_sequence_hota(gt_path, res_path)
+        if args.gsi:
+            from .eval import evaluate_hota
+            from .postprocess import gsi_smooth
+            gt_f = load_mot_file(gt_path, min_confidence=1,
+                                 target_classes=GT_TARGET_CLASSES)
+            hyp_f = load_mot_file(res_path)
+            gt_list, hyp_list = _frames_to_eval_lists(gt_f, hyp_f)
+            smooth = gsi_smooth(hyp_list)
+            gsi_path = out_dir / f"{seq.name}.gsi.txt"
+            write_mot_file(gsi_path, {
+                t + 1: MOTFrame(boxes=b, ids=i,
+                                conf=np.ones(len(i), np.float32))
+                for t, (b, i) in enumerate(smooth) if len(i)})
+            gsis[seq.name] = (
+                evaluate_mot(gt_list, smooth, iou_threshold=args.iou),
+                evaluate_hota(gt_list, smooth))
 
     report = {}
     for name, r in results.items():
@@ -252,6 +273,11 @@ def main(argv=None):
         h = hotas[name]
         row.update(hota=round(h.hota, 4), det_a=round(h.det_a, 4),
                    ass_a=round(h.ass_a, 4))
+        if name in gsis:
+            g_mot, g_hota = gsis[name]
+            row.update(gsi_mota=round(g_mot.mota, 4),
+                       gsi_motp=round(g_mot.motp, 4),
+                       gsi_hota=round(g_hota.hota, 4))
         report[name] = row
     if results:
         report["OVERALL"] = aggregate(results).as_dict()
