@@ -74,6 +74,12 @@ def parse_arguments(argv=None) -> argparse.Namespace:
     parser.add_argument("--ema_alpha", type=float, default=0.9,
                         help="EMA blend factor for --gallery_strategy ema "
                              "(higher = slower-moving appearance bank).")
+    parser.add_argument("--nsa", action="store_true",
+                        help="Noise-scale-adaptive Kalman updates "
+                             "(StrongSORT): scale measurement noise by "
+                             "(1 - detection confidence) so confident "
+                             "detections correct tracks harder. DeepSORT "
+                             "tracker only.")
     parser.add_argument("--gmc", type=str, default="off",
                         choices=("off", "affine", "translation"),
                         help="Camera-motion compensation (any tracker): "
@@ -127,6 +133,18 @@ def main(argv=None):
     # import after the backend choice is settled
     from .runtime.pipeline import TrackingPipeline
 
+    # --- flag validation (before any video/pipeline work) ----------------------
+    if args.gallery_strategy == "ema" and args.tracker != "deepsort":
+        # fail loudly rather than silently running motion-only tracking
+        # while the user believes the EMA appearance bank is active
+        raise SystemExit(
+            f"--gallery_strategy ema requires --tracker deepsort (the "
+            f"motion-only '{args.tracker}' core has no appearance gallery)")
+    if args.nsa and args.tracker != "deepsort":
+        raise SystemExit(
+            f"--nsa requires --tracker deepsort (the motion-only "
+            f"'{args.tracker}' core takes fixed-noise KF updates)")
+
     # --- video input ----------------------------------------------------------
     source = args.input if args.input else args.webcam_id
     reader = VideoReader(source, max_frames=args.max_frames)
@@ -143,12 +161,6 @@ def main(argv=None):
     extra = {}
     if args.input_shape:
         extra["input_shape"] = (args.input_shape, args.input_shape)
-    if args.gallery_strategy == "ema" and args.tracker != "deepsort":
-        # fail loudly rather than silently running motion-only tracking
-        # while the user believes the EMA appearance bank is active
-        raise SystemExit(
-            f"--gallery_strategy ema requires --tracker deepsort (the "
-            f"motion-only '{args.tracker}' core has no appearance gallery)")
     if args.tracker == "deepsort" and args.gallery_strategy == "ema":
         from .core.state import TrackerParams
         extra["tracker_params"] = TrackerParams(
@@ -161,7 +173,10 @@ def main(argv=None):
             max_detections=config.MAX_DETECTIONS,
             feature_dim=config.REID_FEATURE_DIM,
             ema_alpha=args.ema_alpha,
+            nsa=args.nsa,
         )
+    elif args.nsa:
+        extra["nsa"] = True
     pipeline = TrackingPipeline(
         variant=args.variant,
         conf_threshold=args.conf_thresh,

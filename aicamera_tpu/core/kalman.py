@@ -97,12 +97,24 @@ def predict(mean: jnp.ndarray, cov: jnp.ndarray):
     return new_mean, new_cov
 
 
-def project(mean: jnp.ndarray, cov: jnp.ndarray):
-    """Project state to measurement space: returns (Hx ``(...,4)``, S ``(...,4,4)``)."""
+def project(mean: jnp.ndarray, cov: jnp.ndarray, confidence=None):
+    """Project state to measurement space: returns (Hx ``(...,4)``, S ``(...,4,4)``).
+
+    ``confidence`` (optional, ``(...)`` detector scores in [0, 1]) enables
+    the NSA (noise-scale-adaptive) measurement noise of StrongSORT
+    (Du et al. 2022, eq. 8): the measurement stds are scaled by
+    ``(1 - confidence)``, so high-confidence detections are trusted with
+    near-zero noise and low-confidence ones barely move the state. The
+    reference DeepSORT has no equivalent; ``None`` (default) reproduces
+    its fixed noise model exactly (kalman_filter.py:122-151).
+    """
     hm = _update_mat()
     h = mean[..., 3]
     wp = _STD_WEIGHT_POSITION
     std = jnp.stack([wp * h, wp * h, jnp.full_like(h, 1e-1), wp * h], axis=-1)
+    if confidence is not None:
+        scale = jnp.clip(1.0 - confidence.astype(jnp.float32), 0.0, 1.0)
+        std = std * scale[..., None]
     innovation_cov = jnp.einsum("...i,ij->...ij", jnp.square(std), jnp.eye(4, dtype=jnp.float32))
     proj_mean = jnp.einsum("ij,...j->...i", hm, mean, precision=_PRECISION)
     proj_cov = jnp.einsum("ij,...jk,lk->...il", hm, cov, hm,
@@ -164,8 +176,8 @@ def _cho_solve_small(s, b, d: int):
     return _solve_upper_t(l, _solve_lower(l, b, d), d)
 
 
-def _update_single(mean, cov, measurement):
-    proj_mean, s = project(mean, cov)
+def _update_single(mean, cov, measurement, confidence=None):
+    proj_mean, s = project(mean, cov, confidence)
     # K = P Hᵀ S⁻¹ via the closed-form Cholesky solve (reference :185-190
     # uses scipy cho_factor/cho_solve; see _chol_small for why not here).
     phT = cov[:, :_NDIM]  # P @ Hᵀ — H selects the first four state dims
@@ -178,18 +190,25 @@ def _update_single(mean, cov, measurement):
     return new_mean, new_cov
 
 
-def update(mean: jnp.ndarray, cov: jnp.ndarray, measurement_xyah: jnp.ndarray):
+def update(mean: jnp.ndarray, cov: jnp.ndarray, measurement_xyah: jnp.ndarray,
+           confidence: jnp.ndarray | None = None):
     """KF correction step, vmapped over a bank of tracks.
 
     Args:
         mean: ``(T, 8)``.
         cov: ``(T, 8, 8)``.
         measurement_xyah: ``(T, 4)`` matched measurement per track.
+        confidence: optional ``(T,)`` detector scores enabling NSA
+            measurement noise (see :func:`project`); ``None`` keeps the
+            reference's fixed noise model.
     """
     meas = measurement_xyah.astype(jnp.float32)
     if mean.ndim == 1:
-        return _update_single(mean, cov, meas)
-    return jax.vmap(_update_single)(mean, cov, meas)
+        return _update_single(mean, cov, meas, confidence)
+    if confidence is None:
+        return jax.vmap(_update_single)(mean, cov, meas)
+    return jax.vmap(_update_single)(mean, cov, meas,
+                                    confidence.astype(jnp.float32))
 
 
 def gating_distance(mean: jnp.ndarray, cov: jnp.ndarray,

@@ -32,6 +32,11 @@ class TrackerParams:
     Defaults mirror reference ``src/config.py:23-29`` / ``TrackerCore``
     defaults (tracker_core.py:18-38).
 
+    ``nsa`` enables StrongSORT's noise-scale-adaptive Kalman update: the
+    measurement noise of each matched correction is scaled by
+    ``(1 - detection_confidence)`` (see :func:`kalman.project`). Off by
+    default — the reference's fixed noise model.
+
     ``ema_alpha`` selects the appearance-gallery strategy. 0.0 (default)
     is the reference's FIFO ring of up to ``nn_budget`` raw features per
     track (track.py:70-74). A value in (0, 1) enables a StrongSORT-style
@@ -53,6 +58,7 @@ class TrackerParams:
     max_detections: int = 64
     feature_dim: int = 512
     ema_alpha: float = 0.0
+    nsa: bool = False
 
     def __post_init__(self):
         if not (0.0 <= self.ema_alpha < 1.0):

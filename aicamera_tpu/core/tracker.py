@@ -140,7 +140,12 @@ def update(state: TrackerState, dets: Detections,
     # (exact skip — every consumer masks by `matched`).
     def with_matches(_):
         meas_xyah = tlwh_to_xyah(dets.tlwh)[det_idx]  # (T, 4)
-        up_mean, up_cov = kalman.update(state.mean, state.cov, meas_xyah)
+        # NSA (params.nsa): measurement noise scaled by (1 - confidence) —
+        # params is static, so the off branch compiles to the reference's
+        # exact fixed-noise update.
+        nsa_conf = dets.conf[det_idx] if params.nsa else None
+        up_mean, up_cov = kalman.update(state.mean, state.cov, meas_xyah,
+                                        confidence=nsa_conf)
         mean = jnp.where(matched[:, None], up_mean, state.mean)
         cov = jnp.where(matched[:, None, None], up_cov, state.cov)
 

@@ -154,7 +154,8 @@ class TrackingPipeline:
                  tracker: str = "deepsort",
                  bytetrack_params: bt_core.ByteTrackParams | None = None,
                  ocsort_params: oc_core.OCSortParams | None = None,
-                 gmc: str | bool = False):
+                 gmc: str | bool = False,
+                 nsa: bool = False):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
@@ -212,12 +213,24 @@ class TrackingPipeline:
         TPU-native estimate); ``"translation"`` restricts the model to
         pan. Applies to all three tracker cores. Off by default — on a
         genuinely static camera the estimate is the identity and only
-        costs its FFTs."""
+        costs its FFTs.
+
+        ``nsa``: StrongSORT's noise-scale-adaptive Kalman update for the
+        DeepSORT core — matched corrections scale measurement noise by
+        ``(1 - confidence)`` (:func:`..core.kalman.project`). Ignored if
+        an explicit ``tracker_params`` is passed (set its ``nsa`` field
+        instead); rejected for the motion-only cores."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
         if self.tracker_kind not in ("deepsort", "bytetrack", "ocsort"):
             raise ValueError(f"tracker must be 'deepsort', 'bytetrack' or "
                              f"'ocsort' (got {tracker})")
+        if nsa and self.tracker_kind != "deepsort":
+            raise ValueError("nsa=True requires tracker='deepsort' (the "
+                             "motion-only cores take fixed-noise updates)")
+        if nsa and tracker_params is not None:
+            raise ValueError("pass nsa via tracker_params.nsa when "
+                             "supplying explicit tracker_params")
         if bytetrack_params is not None and self.tracker_kind != "bytetrack":
             raise ValueError("bytetrack_params requires tracker='bytetrack'")
         if ocsort_params is not None and self.tracker_kind != "ocsort":
@@ -277,6 +290,7 @@ class TrackingPipeline:
             max_tracks=config.MAX_TRACKS,
             max_detections=config.MAX_DETECTIONS,
             feature_dim=config.REID_FEATURE_DIM,
+            nsa=bool(nsa),
         )
         # crops are gathered from the detection slots, so more crop
         # capacity than detection slots is unreachable (and would break

@@ -161,7 +161,8 @@ class DeepSORT:
                  capture_features: bool = False,
                  gallery_strategy: str = "fifo",
                  ema_alpha: float = 0.9,
-                 gmc: str | bool = False):
+                 gmc: str | bool = False,
+                 nsa: bool = False):
         """Deviation from the reference: ``nn_budget=None`` means an
         unlimited feature gallery there (tracker_core.py:20), but the
         fixed-shape device state needs a static ring size, so ``None`` is
@@ -189,7 +190,12 @@ class DeepSORT:
         motion compensation (:mod:`.ops.gmc`) — the per-frame camera
         affine warps the Kalman bank between predict and association
         (BoT-SORT ordering). DeepSORT + EMA gallery + GMC together are
-        the full StrongSORT/BoT-SORT-style upgrade stack."""
+        the full StrongSORT/BoT-SORT-style upgrade stack.
+
+        ``nsa=True`` enables StrongSORT's noise-scale-adaptive Kalman
+        update: each matched correction scales its measurement noise by
+        ``(1 - detection_confidence)``, trusting confident detections
+        more (see :func:`core.kalman.project`)."""
         enable_persistent_cache()
         self._gmc = None
         if gmc not in (False, None, "off", "none", ""):
@@ -223,6 +229,7 @@ class DeepSORT:
             max_detections=max_detections,
             feature_dim=config.REID_FEATURE_DIM,
             ema_alpha=float(ema_alpha) if use_ema else 0.0,
+            nsa=bool(nsa),
         )
         self.min_detection_confidence = float(min_detection_confidence)
         self.max_reid_crops = int(max_reid_crops)
