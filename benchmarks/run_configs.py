@@ -726,6 +726,39 @@ def config20_gmc_pan(frames_n=288):
           note="oscillating-pan camera; reference cannot compensate")
 
 
+def config21_nsa_trained(frames_n=288):
+    """NSA (noise-scale-adaptive) Kalman updates on the config-9
+    REALISTIC workload: paired A/B (nsa off vs on) on the identical
+    sequence. NSA scales each matched correction's measurement noise by
+    (1 - detection confidence) — StrongSORT's eq. 8; the off arm is the
+    reference's fixed noise model. Reports both arms' quality so the
+    tradeoff (tighter measurement-following vs noise smoothing) is
+    visible."""
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    ckpt = _synthetic_checkpoints("21_nsa_trained")
+    if ckpt is None:
+        return
+    arr, gt, _ = _trained_world_frames(frames_n)
+    results = {}
+    for nsa in (False, True):
+        pipe = TrackingPipeline(chunk_size=96, yolo_weights=ckpt[0],
+                                reid_weights=ckpt[1], nsa=nsa)
+        runs, n = _timed_run(pipe, arr)
+        mot, hota = _replay_quality(pipe, arr, gt)
+        results[nsa] = (runs[1], mot, hota, n)
+    on_fps, on_mot, on_hota, n = results[True]
+    off_fps, off_mot, off_hota, _ = results[False]
+    _emit("21_nsa_trained", on_fps, frames=n, method="median_of_3",
+          off_fps=round(off_fps, 1),
+          mota=round(on_mot.mota, 3), motp=round(on_mot.motp, 3),
+          id_switches=on_mot.id_switches, hota=round(on_hota.hota, 3),
+          off_mota=round(off_mot.mota, 3), off_motp=round(off_mot.motp, 3),
+          off_id_switches=off_mot.id_switches,
+          off_hota=round(off_hota.hota, 3),
+          note="config 9 workload; paired A/B, off = reference noise model")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
@@ -735,7 +768,8 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            13: config13_yolov8x_4k, 14: config14_auto_input,
            15: config15_bytetrack_clip, 16: config16_bytetrack_trained,
            17: config17_ocsort_clip, 18: config18_ocsort_trained,
-           19: config19_ema_gallery_trained, 20: config20_gmc_pan}
+           19: config19_ema_gallery_trained, 20: config20_gmc_pan,
+           21: config21_nsa_trained}
 
 
 def main():
