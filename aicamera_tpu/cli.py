@@ -55,11 +55,15 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                         choices=("n", "s", "m", "l", "x"),
                         help="YOLOv8 variant.")
     parser.add_argument("--tracker", type=str, default="deepsort",
-                        choices=("deepsort", "bytetrack", "ocsort"),
+                        choices=("deepsort", "bytetrack", "botsort",
+                                 "ocsort"),
                         help="Tracking algorithm: 'deepsort' (reference "
                              "parity, appearance + motion), 'bytetrack' "
                              "(motion-only two-pass association over high "
-                             "AND low score boxes; no ReID stage) or "
+                             "AND low score boxes; no ReID stage), "
+                             "'botsort' (ByteTrack + BoT-SORT appearance "
+                             "fusion: ReID embeddings fold into stages "
+                             "1/3 as min(IoU, masked cosine)) or "
                              "'ocsort' (observation-centric motion "
                              "tracking: OCM momentum bonus, last-"
                              "observation recovery, re-update on revival; "

@@ -32,6 +32,16 @@ Validated against an independent NumPy oracle in
 
 Like the DeepSORT core, everything is fixed shape: padded track slots,
 padded detections, masked updates — one XLA program per frame step.
+
+**BoT-SORT mode** (``ByteTrackParams(with_appearance=True)``): the same
+step becomes BoT-SORT's association (Aharon et al. 2022, arXiv:2206.14651)
+— stages 1 and 3 take ``min(iou_cost, emb_cost)`` with the official
+proximity/appearance masking, and every track keeps one EMA-smoothed
+L2-normalized ReID embedding. The motion model stays this module's xyah
+Kalman filter (the official BoT-SORT switches to xywh; documented
+deviation — the association logic is what defines the tracker here).
+GMC composes as before. ``with_appearance=False`` compiles to the exact
+motion-only program (the appearance fields stay ``None``).
 """
 
 from __future__ import annotations
@@ -71,6 +81,20 @@ class ByteTrackParams:
     dup_iou_cost: float = 0.15
     max_tracks: int = 128
     max_detections: int = 64
+    # --- BoT-SORT appearance fusion (Aharon et al. 2022, arXiv:2206.14651).
+    # with_appearance=True turns the ByteTrack step into BoT-SORT's
+    # association: stages 1 and 3 take min(iou_cost, emb_cost) where
+    # emb_cost = cosine_distance/2, invalidated (set to 1) beyond
+    # appearance_thresh or where iou_cost > proximity_thresh; each track
+    # keeps one EMA-smoothed L2-normalized embedding (feat_ema_alpha,
+    # official default 0.9). False (default) is plain motion-only
+    # ByteTrack — the appearance fields stay None and the step compiles
+    # to the exact prior program.
+    with_appearance: bool = False
+    proximity_thresh: float = 0.5
+    appearance_thresh: float = 0.25
+    feat_ema_alpha: float = 0.9
+    feature_dim: int = 512
 
     @property
     def new_track_thresh(self) -> float:
@@ -94,6 +118,9 @@ class ByteTrackState:
     frame_id: jnp.ndarray      # () int32 — frames processed so far
     next_id: jnp.ndarray       # () int32
     dropped: jnp.ndarray       # () int32 — detections dropped to capacity
+    # BoT-SORT appearance bank (None unless params.with_appearance):
+    feat: jnp.ndarray | None = None      # (T, D) f32 — EMA-smoothed, L2-norm
+    has_feat: jnp.ndarray | None = None  # (T,) bool
 
 
 @struct.dataclass
@@ -104,6 +131,9 @@ class ByteDetections:
     score: jnp.ndarray         # (N,) f32
     class_id: jnp.ndarray      # (N,) int32
     valid: jnp.ndarray         # (N,) bool
+    # ReID features (None unless the step runs with_appearance):
+    feature: jnp.ndarray | None = None      # (N, D) f32
+    has_feature: jnp.ndarray | None = None  # (N,) bool
 
 
 def init_state(params: ByteTrackParams) -> ByteTrackState:
@@ -122,12 +152,20 @@ def init_state(params: ByteTrackParams) -> ByteTrackState:
         frame_id=jnp.int32(0),
         next_id=jnp.int32(1),
         dropped=jnp.int32(0),
+        feat=(jnp.zeros((t, params.feature_dim), jnp.float32)
+              if params.with_appearance else None),
+        has_feat=(jnp.zeros((t,), jnp.bool_)
+                  if params.with_appearance else None),
     )
 
 
-def make_detections(tlwh, score, class_id, valid=None, *,
+def make_detections(tlwh, score, class_id, valid=None, feature=None, *,
                     params: ByteTrackParams) -> ByteDetections:
-    """Pad raw per-frame detections to the static capacity."""
+    """Pad raw per-frame detections to the static capacity.
+
+    ``feature``: ``(k, D)`` ReID embeddings (rows of zeros = no feature),
+    required shape only when ``params.with_appearance``; ignored otherwise.
+    """
     n = params.max_detections
     tlwh = jnp.asarray(tlwh, jnp.float32).reshape(-1, 4)
     k = tlwh.shape[0]
@@ -141,11 +179,23 @@ def make_detections(tlwh, score, class_id, valid=None, *,
         valid = jnp.asarray(valid, jnp.bool_).reshape(-1)
     valid = valid & jnp.isfinite(tlwh).all(-1)
     pad = n - k
+    feat = has_feat = None
+    if params.with_appearance:
+        d = params.feature_dim
+        if feature is None:
+            feat = jnp.zeros((n, d), jnp.float32)
+            has_feat = jnp.zeros((n,), jnp.bool_)
+        else:
+            f = jnp.asarray(feature, jnp.float32).reshape(k, d)
+            feat = jnp.pad(f, ((0, pad), (0, 0)))
+            has_feat = jnp.pad(jnp.any(f != 0.0, axis=-1), (0, pad))
     return ByteDetections(
         tlwh=jnp.pad(tlwh, ((0, pad), (0, 0))),
         score=jnp.pad(score, (0, pad)),
         class_id=jnp.pad(class_id, (0, pad)),
         valid=jnp.pad(valid, (0, pad)),
+        feature=feat,
+        has_feature=has_feat,
     )
 
 
@@ -206,6 +256,24 @@ def step(state: ByteTrackState, dets: ByteDetections,
         fused = 1.0 - (1.0 - iou_c) * dets.score[None, :]
     else:
         fused = iou_c
+    if params.with_appearance:
+        # BoT-SORT fused cost for stages 1 and 3 (official BoTSORT.update):
+        # emb = cosine_distance / 2, invalidated (set to 1) beyond
+        # appearance_thresh, where the RAW IoU cost exceeds
+        # proximity_thresh (the mask is taken before score fusion, as in
+        # the official code), or where either side has no feature; the
+        # stage cost is then min(score-fused IoU, emb).
+        tf = state.feat / jnp.maximum(
+            jnp.linalg.norm(state.feat, axis=-1, keepdims=True), 1e-7)
+        df = dets.feature / jnp.maximum(
+            jnp.linalg.norm(dets.feature, axis=-1, keepdims=True), 1e-7)
+        emb = 0.5 * jnp.maximum(
+            1.0 - jnp.matmul(tf, df.T, precision=jax.lax.Precision.HIGHEST),
+            0.0)
+        emb_bad = ((emb > params.appearance_thresh)
+                   | (iou_c > params.proximity_thresh)
+                   | ~state.has_feat[:, None] | ~dets.has_feature[None, :])
+        fused = jnp.minimum(fused, jnp.where(emb_bad, 1.0, emb))
 
     nd = dets.valid.shape[0]
     neg = jnp.full((t,), -1, jnp.int32)
@@ -261,6 +329,26 @@ def step(state: ByteTrackState, dets: ByteDetections,
     mean2, cov2 = jax.lax.cond(
         jnp.any(matched), with_matches, lambda _: (mean, cov), None)
 
+    feat, has_feat = state.feat, state.has_feat
+    if params.with_appearance:
+        # STrack.update_features: normalize the new feature, EMA-blend into
+        # the smoothed bank, re-normalize; first feature seeds directly.
+        # Applies on every match incl. re_activate (lost-track revival).
+        def upd_feat(_):
+            fn = dets.feature[det_idx]
+            fn = fn / jnp.maximum(
+                jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-7)
+            a = jnp.float32(params.feat_ema_alpha)
+            blend = a * feat + (1.0 - a) * fn
+            blend = blend / jnp.maximum(
+                jnp.linalg.norm(blend, axis=-1, keepdims=True), 1e-7)
+            newf = jnp.where(has_feat[:, None], blend, fn)
+            updm = matched & dets.has_feature[det_idx]
+            return jnp.where(updm[:, None], newf, feat), has_feat | updm
+
+        feat, has_feat = jax.lax.cond(
+            jnp.any(matched), upd_feat, lambda _: (feat, has_feat), None)
+
     tsu = jnp.where(matched, 0, tsu)
     st = jnp.where(matched, TRACKED, state.state)
     st = jnp.where(newly_lost, LOST, st)
@@ -277,7 +365,9 @@ def step(state: ByteTrackState, dets: ByteDetections,
     rows = jnp.arange(t)
 
     def initiate_new(ops):
-        (active, st, is_act, mean2, cov2, tsu, class_id, score) = ops
+        (active, st, is_act, mean2, cov2, tsu, class_id, score) = ops[:8]
+        if params.with_appearance:
+            feat_i, has_feat_i = ops[8:]
         free = ~active
         n_free = jnp.sum(free)
         slot_rank = jnp.cumsum(free) - 1
@@ -309,18 +399,35 @@ def step(state: ByteTrackState, dets: ByteDetections,
         class_id = scatter(class_id, dets.class_id)
         score = scatter(score, dets.score)
         n_new = jnp.sum(can_place).astype(jnp.int32)
-        return (active, st, is_act, mean2, cov2, tsu, start_frame,
-                track_id, class_id, score, n_new, dropped)
+        out = (active, st, is_act, mean2, cov2, tsu, start_frame,
+               track_id, class_id, score, n_new, dropped)
+        if params.with_appearance:
+            # seed the appearance bank with the initiating detection's
+            # normalized feature (STrack ctor -> update_features)
+            fn = dets.feature / jnp.maximum(
+                jnp.linalg.norm(dets.feature, axis=-1, keepdims=True), 1e-7)
+            feat_i2 = feat_i.at[slot_for_det].set(
+                jnp.where(dets.has_feature[:, None], fn, 0.0), mode="drop")
+            has_feat_i2 = scatter(has_feat_i, dets.has_feature)
+            out = out + (feat_i2, has_feat_i2)
+        return out
 
     def no_new(ops):
-        (active, st, is_act, mean2, cov2, tsu, class_id, score) = ops
-        return (active, st, is_act, mean2, cov2, tsu, state.start_frame,
-                state.track_id, class_id, score, jnp.int32(0), jnp.int32(0))
+        (active, st, is_act, mean2, cov2, tsu, class_id, score) = ops[:8]
+        out = (active, st, is_act, mean2, cov2, tsu, state.start_frame,
+               state.track_id, class_id, score, jnp.int32(0), jnp.int32(0))
+        if params.with_appearance:
+            out = out + tuple(ops[8:])
+        return out
 
+    ops_in = (active, st, is_act, mean2, cov2, tsu, class_id, score)
+    if params.with_appearance:
+        ops_in = ops_in + (feat, has_feat)
+    _init_out = jax.lax.cond(jnp.any(new_det), initiate_new, no_new, ops_in)
     (active, st, is_act, mean2, cov2, tsu, start_frame, track_id,
-     class_id, score, n_new, dropped) = jax.lax.cond(
-        jnp.any(new_det), initiate_new, no_new,
-        (active, st, is_act, mean2, cov2, tsu, class_id, score))
+     class_id, score, n_new, dropped) = _init_out[:12]
+    if params.with_appearance:
+        feat, has_feat = _init_out[12:]
 
     # --- Duplicate suppression (official remove_duplicate_stracks) ----------
     # Tracked/lost pairs with IoU cost < 0.15 drop the shorter-lived track
@@ -347,6 +454,7 @@ def step(state: ByteTrackState, dets: ByteDetections,
         track_id=track_id, class_id=class_id, score=score,
         frame_id=frame_id, next_id=state.next_id + n_new,
         dropped=state.dropped + dropped,
+        feat=feat, has_feat=has_feat,
     )
 
 

@@ -211,9 +211,13 @@ _SCALAR_STATE_FIELDS = frozenset(
 
 
 def track_axis_field_names(state) -> tuple:
-    """Names of the per-track array fields of any tracker-state dataclass."""
+    """Names of the per-track array fields of any tracker-state dataclass.
+
+    Optional fields holding ``None`` (e.g. the ByteTrack state's appearance
+    bank in motion-only mode) are skipped — there is nothing to slice."""
     return tuple(f.name for f in dataclasses.fields(state)
-                 if f.name not in _SCALAR_STATE_FIELDS)
+                 if f.name not in _SCALAR_STATE_FIELDS
+                 and getattr(state, f.name) is not None)
 
 
 def slice_any_tracks(state, t_small: int):

@@ -111,14 +111,19 @@ class MultiStreamPipeline:
                              f"bool (got {gmc!r})")
         self._gmc_prev = None          # (S, H, W, 3) host carry
         # alternative tracker cores (same semantics as TrackingPipeline's
-        # ``tracker`` argument): motion-only, no ReID stage in the device
-        # program; ByteTrack additionally surfaces low-score boxes
+        # ``tracker`` argument): bytetrack/ocsort are motion-only (no ReID
+        # stage in the device program); botsort keeps the embed stage and
+        # fuses appearance into the BYTE association; ByteTrack-family
+        # cores additionally surface low-score boxes
         self.tracker_kind = str(tracker)
-        if self.tracker_kind not in ("deepsort", "bytetrack", "ocsort"):
-            raise ValueError(f"tracker must be 'deepsort', 'bytetrack' or "
-                             f"'ocsort' (got {tracker})")
-        if bytetrack_params is not None and self.tracker_kind != "bytetrack":
-            raise ValueError("bytetrack_params requires tracker='bytetrack'")
+        if self.tracker_kind not in ("deepsort", "bytetrack", "botsort",
+                                     "ocsort"):
+            raise ValueError(f"tracker must be 'deepsort', 'bytetrack', "
+                             f"'botsort' or 'ocsort' (got {tracker})")
+        if bytetrack_params is not None and self.tracker_kind not in (
+                "bytetrack", "botsort"):
+            raise ValueError("bytetrack_params requires tracker='bytetrack' "
+                             "or 'botsort'")
         if ocsort_params is not None and self.tracker_kind != "ocsort":
             raise ValueError("ocsort_params requires tracker='ocsort'")
         self.bytetrack_params = None
@@ -127,6 +132,18 @@ class MultiStreamPipeline:
             self.bytetrack_params = bytetrack_params or bt_core.ByteTrackParams(
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
+            if self.bytetrack_params.with_appearance:
+                raise ValueError("with_appearance=True bytetrack_params "
+                                 "require tracker='botsort'")
+        elif self.tracker_kind == "botsort":
+            self.bytetrack_params = bytetrack_params or bt_core.ByteTrackParams(
+                max_tracks=config.MAX_TRACKS,
+                max_detections=config.MAX_DETECTIONS,
+                with_appearance=True,
+                feature_dim=config.REID_FEATURE_DIM)
+            if not self.bytetrack_params.with_appearance:
+                raise ValueError("tracker='botsort' requires "
+                                 "bytetrack_params.with_appearance=True")
         elif self.tracker_kind == "ocsort":
             self.ocsort_params = ocsort_params or oc_core.OCSortParams(
                 max_tracks=config.MAX_TRACKS,
@@ -165,7 +182,7 @@ class MultiStreamPipeline:
         self._track_class_ids = jnp.asarray(
             config.CLASS_IDS_TO_TRACK, jnp.int32)
         self._nms_score_floor = config.YOLO_NMS_SCORE_THRESHOLD
-        if self.tracker_kind == "bytetrack":
+        if self.tracker_kind in ("bytetrack", "botsort"):
             # BYTE's second association feeds on the low-score boxes other
             # pipelines discard (see runtime/pipeline.py)
             self._nms_score_floor = min(self._nms_score_floor,
@@ -204,7 +221,7 @@ class MultiStreamPipeline:
         self._step, self._chunk_step = self._build_step()
 
     def _init_one_state(self):
-        if self.tracker_kind == "bytetrack":
+        if self.tracker_kind in ("bytetrack", "botsort"):
             return bt_core.init_state(self.bytetrack_params)
         if self.tracker_kind == "ocsort":
             return oc_core.init_state(self.ocsort_params)
@@ -214,7 +231,8 @@ class MultiStreamPipeline:
         spec = letterbox_spec(self.frame_hw, self.input_shape,
                               auto=self.letterbox_auto)
         p = self.tracker_params
-        bytetrack = self.tracker_kind == "bytetrack"
+        botsort = self.tracker_kind == "botsort"
+        bytetrack = self.tracker_kind in ("bytetrack", "botsort")
         ocsort = self.tracker_kind == "ocsort"
         if bytetrack:
             n_det = self.bytetrack_params.max_detections
@@ -222,7 +240,7 @@ class MultiStreamPipeline:
             n_det = self.ocsort_params.max_detections
         else:
             n_det = p.max_detections
-        with_reid = not (bytetrack or ocsort)
+        with_reid = self.tracker_kind in ("deepsort", "botsort")
         n_crops = self.max_reid_crops
         s = self.n_streams
         use_gmc = self.gmc_method is not None
@@ -293,7 +311,40 @@ class MultiStreamPipeline:
                 return state, get_outs(state, pp)
             return per_stream_track
 
-        if bytetrack:
+        if botsort:
+            # ByteTrack core + appearance: per-stream features ride the
+            # same (feats, crop_valid) args as the DeepSORT path
+            def make_track(pp):
+                def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
+                                     feats, crop_valid, *rest):
+                    f_gmc, frame_valid = _split_rest(rest)
+                    d_feats = jnp.zeros((n_det, pp.feature_dim),
+                                        jnp.float32)
+                    d_feats = d_feats.at[:n_crops].set(
+                        feats.astype(jnp.float32))
+                    d_hasfeat = jnp.zeros((n_det,), jnp.bool_).at[
+                        :n_crops].set(crop_valid & d_valid[:n_crops])
+                    tlwh = jnp.concatenate(
+                        [d_xyxy[:, :2], d_xyxy[:, 2:] - d_xyxy[:, :2]],
+                        axis=-1)
+                    dets = bt_core.ByteDetections(
+                        tlwh=tlwh, score=d_conf, class_id=d_cls,
+                        valid=d_valid, feature=d_feats,
+                        has_feature=d_hasfeat)
+
+                    def do(st):
+                        return bt_core.step(st, dets, pp, f_gmc)
+
+                    if frame_valid is None:
+                        state = do(state)
+                    else:
+                        state = jax.lax.cond(frame_valid, do,
+                                             lambda st: st, state)
+                    return state, bt_core.get_outputs(state)
+                return per_stream_track
+
+            core_params = self.bytetrack_params
+        elif bytetrack:
             def _bt_dets(d_xyxy, d_conf, d_cls, d_valid):
                 tlwh = jnp.concatenate(
                     [d_xyxy[:, :2], d_xyxy[:, 2:] - d_xyxy[:, :2]], axis=-1)

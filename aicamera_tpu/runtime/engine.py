@@ -41,6 +41,27 @@ class TensorInfo(NamedTuple):
 _CACHE_INITIALIZED = False
 
 
+def host_cpu_tag() -> str:
+    """Short fingerprint of the host's CPU feature flags.
+
+    XLA:CPU AOT-serialized executables embed the compile machine's feature
+    set; loading them on a host with a DIFFERENT detected feature set (this
+    VM migrates between physical hosts) logs cpu_aot_loader errors and can
+    SIGILL outright. The persistent cache therefore lives in a
+    per-feature-set subdirectory — a migrated VM recompiles into a fresh
+    one instead of crashing on stale entries.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nohost"
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (engine-build-once UX)."""
     global _CACHE_INITIALIZED
@@ -51,7 +72,8 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
         return
     cache_dir = cache_dir or os.environ.get(
         "AICAMERA_COMPILE_CACHE",
-        str(Path.home() / ".cache" / "aicamera_tpu" / "xla_cache"))
+        str(Path.home() / ".cache" / "aicamera_tpu" / "xla_cache"
+            / host_cpu_tag()))
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

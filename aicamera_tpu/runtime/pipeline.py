@@ -191,18 +191,21 @@ class TrackingPipeline:
 
         ``tracker``: ``"deepsort"`` (default — the reference algorithm),
         ``"bytetrack"`` (:mod:`..core.bytetrack` — motion-only two-pass
-        association) or ``"ocsort"`` (:mod:`..core.ocsort` —
-        observation-centric SORT); the latter two are the reference
-        README's own "Future Enhancements" list. Both disable the ReID
-        crop/embed stage entirely (no appearance model). ByteTrack
-        additionally feeds the tracker every class-eligible detection
-        above its ``low_thresh`` (0.1) regardless of ``conf_threshold`` —
-        the low-score second association is the algorithm's point — and
-        the NMS score floor drops to ``low_thresh`` to surface those
-        boxes; ``conf_threshold`` still governs the *detection output*
-        lists. OC-SORT consumes only detections above its strict
-        ``det_thresh`` (0.6). The capacity-bucketed scan applies to all
-        three cores (``_bucketed_time_scan``) — the per-frame scans are
+        association), ``"botsort"`` (the same core with BoT-SORT's
+        appearance fusion: the ReID embed stage runs and stages 1/3
+        associate on min(IoU, masked cosine)) or ``"ocsort"``
+        (:mod:`..core.ocsort` — observation-centric SORT); tracker-
+        algorithm integration is the reference README's own "Future
+        Enhancements" list. ByteTrack and OC-SORT disable the ReID
+        crop/embed stage entirely (no appearance model). ByteTrack and
+        BoT-SORT feed the tracker every class-eligible detection above
+        ``low_thresh`` (0.1) regardless of ``conf_threshold`` — the
+        low-score second association is the algorithm's point — and the
+        NMS score floor drops to ``low_thresh`` to surface those boxes;
+        ``conf_threshold`` still governs the *detection output* lists.
+        OC-SORT consumes only detections above its strict ``det_thresh``
+        (0.6). The capacity-bucketed scan applies to all cores
+        (``_bucketed_time_scan``) — the per-frame scans are
         throughput-bound in padded track capacity.
 
         ``gmc``: camera-motion compensation (:mod:`..ops.gmc` — a
@@ -222,17 +225,20 @@ class TrackingPipeline:
         instead); rejected for the motion-only cores."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
-        if self.tracker_kind not in ("deepsort", "bytetrack", "ocsort"):
-            raise ValueError(f"tracker must be 'deepsort', 'bytetrack' or "
-                             f"'ocsort' (got {tracker})")
+        if self.tracker_kind not in ("deepsort", "bytetrack", "botsort",
+                                     "ocsort"):
+            raise ValueError(f"tracker must be 'deepsort', 'bytetrack', "
+                             f"'botsort' or 'ocsort' (got {tracker})")
         if nsa and self.tracker_kind != "deepsort":
             raise ValueError("nsa=True requires tracker='deepsort' (the "
-                             "motion-only cores take fixed-noise updates)")
+                             "other cores take fixed-noise updates)")
         if nsa and tracker_params is not None:
             raise ValueError("pass nsa via tracker_params.nsa when "
                              "supplying explicit tracker_params")
-        if bytetrack_params is not None and self.tracker_kind != "bytetrack":
-            raise ValueError("bytetrack_params requires tracker='bytetrack'")
+        if bytetrack_params is not None and self.tracker_kind not in (
+                "bytetrack", "botsort"):
+            raise ValueError("bytetrack_params requires tracker='bytetrack' "
+                             "or 'botsort'")
         if ocsort_params is not None and self.tracker_kind != "ocsort":
             raise ValueError("ocsort_params requires tracker='ocsort'")
         self.bytetrack_params = None
@@ -241,7 +247,21 @@ class TrackingPipeline:
             self.bytetrack_params = bytetrack_params or bt_core.ByteTrackParams(
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
+            if self.bytetrack_params.with_appearance:
+                raise ValueError("with_appearance=True bytetrack_params "
+                                 "require tracker='botsort'")
             with_reid = False
+        elif self.tracker_kind == "botsort":
+            self.bytetrack_params = bytetrack_params or bt_core.ByteTrackParams(
+                max_tracks=config.MAX_TRACKS,
+                max_detections=config.MAX_DETECTIONS,
+                with_appearance=True,
+                feature_dim=config.REID_FEATURE_DIM)
+            if not self.bytetrack_params.with_appearance:
+                raise ValueError("tracker='botsort' requires "
+                                 "bytetrack_params.with_appearance=True "
+                                 "(else it is plain ByteTrack)")
+            with_reid = True
         elif self.tracker_kind == "ocsort":
             self.ocsort_params = ocsort_params or oc_core.OCSortParams(
                 max_tracks=config.MAX_TRACKS,
@@ -295,12 +315,14 @@ class TrackingPipeline:
         # crops are gathered from the detection slots, so more crop
         # capacity than detection slots is unreachable (and would break
         # the bucketed gather's static reshape)
-        self.max_reid_crops = min(self.max_reid_crops,
-                                  self.tracker_params.max_detections)
+        _det_cap = (self.bytetrack_params.max_detections
+                    if self.tracker_kind == "botsort"
+                    else self.tracker_params.max_detections)
+        self.max_reid_crops = min(self.max_reid_crops, _det_cap)
         self._track_class_ids = jnp.asarray(
             config.CLASS_IDS_TO_TRACK, jnp.int32)
         self._nms_score_floor = config.YOLO_NMS_SCORE_THRESHOLD
-        if self.tracker_kind == "bytetrack":
+        if self.tracker_kind in ("bytetrack", "botsort"):
             self._nms_score_floor = min(self._nms_score_floor,
                                         self.bytetrack_params.low_thresh)
         elif self.tracker_kind == "ocsort":
@@ -314,7 +336,7 @@ class TrackingPipeline:
         self._steps = {}
 
     def _init_tracker_state(self):
-        if self.tracker_kind == "bytetrack":
+        if self.tracker_kind in ("bytetrack", "botsort"):
             return bt_core.init_state(self.bytetrack_params)
         if self.tracker_kind == "ocsort":
             return oc_core.init_state(self.ocsort_params)
@@ -326,7 +348,8 @@ class TrackingPipeline:
         spec = letterbox_spec(frame_hw, self.input_shape,
                               auto=self.letterbox_auto)
         p = self.tracker_params
-        bytetrack = self.tracker_kind == "bytetrack"
+        botsort = self.tracker_kind == "botsort"
+        bytetrack = self.tracker_kind in ("bytetrack", "botsort")
         ocsort = self.tracker_kind == "ocsort"
         if bytetrack:
             n_det = self.bytetrack_params.max_detections
@@ -334,6 +357,8 @@ class TrackingPipeline:
             n_det = self.ocsort_params.max_detections
         else:
             n_det = p.max_detections
+        feature_dim = (self.bytetrack_params.feature_dim if botsort
+                       else p.feature_dim)
         n_crops = self.max_reid_crops
         with_reid = self.with_reid
         use_gmc = self.gmc_method is not None
@@ -446,7 +471,7 @@ class TrackingPipeline:
 
                 def make_branch(b):
                     def branch(_):
-                        fpad = jnp.zeros((k, n_crops, p.feature_dim),
+                        fpad = jnp.zeros((k, n_crops, feature_dim),
                                          jnp.float32)
                         vpad = jnp.zeros((k, n_crops), jnp.bool_)
                         if b == 0:
@@ -466,26 +491,37 @@ class TrackingPipeline:
                 idx = sum(jnp.int32(n_needed > b) for b in buckets[:-1])
                 feats, crop_valid = jax.lax.switch(
                     idx, [make_branch(b) for b in buckets], operand=None)
-                d_feats = jnp.zeros((k, n_det, p.feature_dim), jnp.float32)
+                d_feats = jnp.zeros((k, n_det, feature_dim), jnp.float32)
                 d_feats = d_feats.at[:, :n_crops].set(feats)
                 d_hasfeat = jnp.zeros((k, n_det), jnp.bool_).at[:, :n_crops].set(
                     crop_valid & d_valid[:, :n_crops])
             else:
-                d_feats = jnp.zeros((k, n_det, p.feature_dim), jnp.float32)
+                d_feats = jnp.zeros((k, n_det, feature_dim), jnp.float32)
                 d_hasfeat = jnp.zeros((k, n_det), jnp.bool_)
 
             tlwh = jnp.concatenate(
                 [d_xyxy[..., :2], d_xyxy[..., 2:] - d_xyxy[..., :2]], axis=-1)
 
             if bytetrack:
+                # botsort = the same core with appearance: the per-frame
+                # xs carry the ReID features from the shared embed stage
+                n_fixed = 7 if botsort else 5
+
                 def make_scan_body_bt(pp):
                     def scan_body_bt(st, per_frame):
-                        (f_tlwh, f_conf, f_cls, f_valid,
-                         f_frame_valid) = per_frame[:5]
-                        f_gmc = tuple(per_frame[5:]) if use_gmc else None
+                        if botsort:
+                            (f_tlwh, f_conf, f_cls, f_feats, f_hasfeat,
+                             f_valid, f_frame_valid) = per_frame[:7]
+                        else:
+                            (f_tlwh, f_conf, f_cls, f_valid,
+                             f_frame_valid) = per_frame[:5]
+                            f_feats = f_hasfeat = None
+                        f_gmc = (tuple(per_frame[n_fixed:])
+                                 if use_gmc else None)
                         dets = bt_core.ByteDetections(
                             tlwh=f_tlwh, score=f_conf, class_id=f_cls,
-                            valid=f_valid)
+                            valid=f_valid, feature=f_feats,
+                            has_feature=f_hasfeat)
                         st = jax.lax.cond(
                             f_frame_valid,
                             lambda s: bt_core.step(s, dets, pp, gmc=f_gmc),
@@ -493,9 +529,14 @@ class TrackingPipeline:
                         return st, bt_core.get_outputs(st)
                     return scan_body_bt
 
+                if botsort:
+                    xs_bt = (tlwh, d_conf, d_cls, d_feats, d_hasfeat,
+                             d_valid, frame_valid) + gmc_xs
+                else:
+                    xs_bt = (tlwh, d_conf, d_cls, d_valid,
+                             frame_valid) + gmc_xs
                 state, track_outs = _bucketed_time_scan(
-                    state,
-                    (tlwh, d_conf, d_cls, d_valid, frame_valid) + gmc_xs,
+                    state, xs_bt,
                     make_scan_body_bt, self.bytetrack_params,
                     self.scan_bucket, k)
                 det_outs = (num, boxes_f, scores, labels, det_valid)

@@ -726,6 +726,28 @@ def config20_gmc_pan(frames_n=288):
           note="oscillating-pan camera; reference cannot compensate")
 
 
+def config22_botsort_trained(frames_n=288):
+    """BoT-SORT (ByteTrack + appearance fusion, config 16's core with the
+    ReID embed stage) under the REALISTIC trained-detector+embedder load —
+    the config-9 scenario; directly comparable with the DeepSORT (9),
+    ByteTrack (16) and OC-SORT (18) rows on the same scenes and ground
+    truth."""
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    ckpt = _synthetic_checkpoints("22_botsort_trained")
+    if ckpt is None:
+        return
+    arr, gt, _ = _trained_world_frames(frames_n)
+    pipe = TrackingPipeline(chunk_size=96, tracker="botsort",
+                            yolo_weights=ckpt[0], reid_weights=ckpt[1])
+    runs, n = _timed_run(pipe, arr)
+    mot, hota = _replay_quality(pipe, arr, gt)
+    _emit("22_botsort_trained", runs[1], frames=n,
+          method="median_of_3", mota=round(mot.mota, 3),
+          motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          hota=round(hota.hota, 3),
+          note="same workload as configs 9/16/18; ByteTrack + ReID fusion")
+
+
 def config21_nsa_trained(frames_n=288):
     """NSA (noise-scale-adaptive) Kalman updates on the config-9
     REALISTIC workload: paired A/B (nsa off vs on) on the identical
@@ -769,7 +791,7 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            15: config15_bytetrack_clip, 16: config16_bytetrack_trained,
            17: config17_ocsort_clip, 18: config18_ocsort_trained,
            19: config19_ema_gallery_trained, 20: config20_gmc_pan,
-           21: config21_nsa_trained}
+           21: config21_nsa_trained, 22: config22_botsort_trained}
 
 
 def main():

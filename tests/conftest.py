@@ -19,9 +19,19 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 # Persistent compile cache: CPU conv compiles take ~7s each in this
-# environment; the cache makes repeat suite runs compile-free.
-_cache = Path.home() / ".cache" / "aicamera_tpu" / "xla_cache_tests"
+# environment; the cache makes repeat suite runs compile-free. The dir is
+# scoped by the host's CPU feature flags (engine.host_cpu_tag): this VM
+# migrates between physical hosts, and XLA:CPU AOT executables cached on a
+# host with different features SIGILL when loaded (observed, 2026-08-19).
+from aicamera_tpu.runtime.engine import host_cpu_tag  # noqa: E402
+
+_cache = (Path.home() / ".cache" / "aicamera_tpu" / "xla_cache_tests"
+          / host_cpu_tag())
 _cache.mkdir(parents=True, exist_ok=True)
+# Also guards enable_persistent_cache(): with the env var set, pipeline
+# construction inside tests keeps THIS cache dir instead of redirecting
+# the process to the main runtime cache mid-suite.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = str(_cache)
 
 import jax  # noqa: E402
 
