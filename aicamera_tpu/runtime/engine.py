@@ -77,7 +77,10 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 5s floor — the programs worth caching (convs, fused chunk
+        # steps) take far longer; tiny eager-op programs just churn the
+        # cache dir (see tests/conftest.py for the CPU-serializer caveat).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         _CACHE_INITIALIZED = True
     except Exception:  # pragma: no cover - older jax versions
         pass

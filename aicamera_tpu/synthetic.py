@@ -28,6 +28,7 @@ pattern and shade — distinct appearance for ReID.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -76,6 +77,7 @@ class WorldSpec:
     noise: float = 12.0               # background noise amplitude (levels)
 
 
+@partial(jax.jit, static_argnames=("spec",))
 def random_objects(key, spec: WorldSpec):
     """Sample one scene's object slots. Returns a dict of (N,) arrays:
     ``valid, cls (index into CLASS_IDS), xyxy (N,4) source-pixel boxes,
@@ -83,6 +85,11 @@ def random_objects(key, spec: WorldSpec):
 
     Boxes may extend up to 25% beyond the frame edge (partial visibility,
     like real camera scenes); downstream ground truth clips to the frame.
+
+    Jitted as ONE program (spec static): eager per-op dispatch here both
+    wastes round trips and, on slow hosts, pushes tiny binary-op programs
+    over the persistent cache's compile-time floor — and one of those
+    segfaults XLA's CPU executable serializer (see tests/conftest.py).
     """
     h, w = spec.hw
     n = spec.max_objects

@@ -39,4 +39,9 @@ jax.config.update("jax_platforms", "cpu")
 # NOTE: the JAX_COMPILATION_CACHE_DIR env var is silently ignored by this
 # jax version — only the explicit config update enables the cache.
 jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# 5s floor: only the expensive programs (convs ~7s) are worth caching;
+# tiny eager-op programs just churn the cache dir. NOTE this floor does
+# NOT prevent the XLA:CPU AOT serializer segfault on the large
+# bucketed-scan executables — that is handled by disabling the cache for
+# the affected module (tests/test_scan_bucket.py fixture).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -20,6 +20,21 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """Persistent compile cache OFF for this module only.
+
+    The large bucketed-scan executables compiled here reproducibly
+    segfault XLA:CPU's AOT serializer (jax 0.9.0): three suite runs on
+    2026-08-19/20 died at this module inside put/get_executable_and_time
+    (serialize on write, deserialize on read), while a cache-disabled run
+    completed cleanly. Everything else keeps the warm cache; this module
+    pays its compile time each run."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
 from aicamera_tpu.core import (TrackerParams, init_state, make_detections,
                                predict, update)
 from aicamera_tpu.core.state import slice_tracks, splice_tracks
