@@ -34,6 +34,7 @@ _LAZY_EXPORTS = {
     "DeepSORT": "aicamera_tpu.tracker_api",
     "ByteTrack": "aicamera_tpu.bytetrack_api",
     "BoTSORT": "aicamera_tpu.botsort_api",
+    "StrongSORT": "aicamera_tpu.strongsort_api",
     "OCSort": "aicamera_tpu.ocsort_api",
     "ReIDModel": "aicamera_tpu.tracker_api",
     "TrackingPipeline": "aicamera_tpu.runtime.pipeline",

@@ -55,10 +55,13 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                         choices=("n", "s", "m", "l", "x"),
                         help="YOLOv8 variant.")
     parser.add_argument("--tracker", type=str, default="deepsort",
-                        choices=("deepsort", "bytetrack", "botsort",
-                                 "ocsort"),
+                        choices=("deepsort", "strongsort", "bytetrack",
+                                 "botsort", "ocsort"),
                         help="Tracking algorithm: 'deepsort' (reference "
-                             "parity, appearance + motion), 'bytetrack' "
+                             "parity, appearance + motion), 'strongsort' "
+                             "(DeepSORT + the StrongSORT preset: EMA "
+                             "appearance bank, NSA Kalman, gmc=affine "
+                             "unless --gmc overrides), 'bytetrack' "
                              "(motion-only two-pass association over high "
                              "AND low score boxes; no ReID stage), "
                              "'botsort' (ByteTrack + BoT-SORT appearance "
@@ -84,7 +87,7 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                              "(1 - detection confidence) so confident "
                              "detections correct tracks harder. DeepSORT "
                              "tracker only.")
-    parser.add_argument("--gmc", type=str, default="off",
+    parser.add_argument("--gmc", type=str, default=None,
                         choices=("off", "affine", "translation"),
                         help="Camera-motion compensation (any tracker): "
                              "estimate the inter-frame camera motion on-"
@@ -92,7 +95,8 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                              "track states before association. Use for "
                              "panning/zooming (PTZ, vehicle-mounted) "
                              "cameras; 'off' = reference static-camera "
-                             "behavior.")
+                             "behavior. Default: off ('affine' when "
+                             "--tracker strongsort).")
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")

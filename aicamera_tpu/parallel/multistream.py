@@ -116,10 +116,30 @@ class MultiStreamPipeline:
         # fuses appearance into the BYTE association; ByteTrack-family
         # cores additionally surface low-score boxes
         self.tracker_kind = str(tracker)
+        if self.tracker_kind == "strongsort":
+            # named preset (strongsort_api.py): DeepSORT core + EMA bank
+            # + NSA Kalman + affine GMC (per-stream, still collective-free)
+            self.tracker_kind = "deepsort"
+            if self.gmc_method is None and gmc in (False, None):
+                self.gmc_method = "affine"
+            if tracker_params is None:
+                tracker_params = TrackerParams(
+                    max_cosine_distance=config.DEEPSORT_MAX_DIST,
+                    nn_budget=1,
+                    max_iou_distance=config.DEEPSORT_MAX_IOU_DISTANCE,
+                    max_age=config.DEEPSORT_MAX_AGE,
+                    n_init=config.DEEPSORT_N_INIT,
+                    max_tracks=config.MAX_TRACKS,
+                    max_detections=config.MAX_DETECTIONS,
+                    feature_dim=config.REID_FEATURE_DIM,
+                    ema_alpha=0.9,
+                    nsa=True,
+                )
         if self.tracker_kind not in ("deepsort", "bytetrack", "botsort",
                                      "ocsort"):
-            raise ValueError(f"tracker must be 'deepsort', 'bytetrack', "
-                             f"'botsort' or 'ocsort' (got {tracker})")
+            raise ValueError(f"tracker must be 'deepsort', 'strongsort', "
+                             f"'bytetrack', 'botsort' or 'ocsort' "
+                             f"(got {tracker})")
         if bytetrack_params is not None and self.tracker_kind not in (
                 "bytetrack", "botsort"):
             raise ValueError("bytetrack_params requires tracker='bytetrack' "

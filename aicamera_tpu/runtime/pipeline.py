@@ -190,7 +190,10 @@ class TrackingPipeline:
         configuration.
 
         ``tracker``: ``"deepsort"`` (default — the reference algorithm),
-        ``"bytetrack"`` (:mod:`..core.bytetrack` — motion-only two-pass
+        ``"strongsort"`` (the DeepSORT core with StrongSORT's upgrade
+        preset: EMA appearance bank + NSA Kalman + ``gmc="affine"``; see
+        :mod:`..strongsort_api`), ``"bytetrack"`` (:mod:`..core.bytetrack`
+        — motion-only two-pass
         association), ``"botsort"`` (the same core with BoT-SORT's
         appearance fusion: the ReID embed stage runs and stages 1/3
         associate on min(IoU, masked cosine)) or ``"ocsort"``
@@ -225,10 +228,33 @@ class TrackingPipeline:
         instead); rejected for the motion-only cores."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
+        if self.tracker_kind == "strongsort":
+            # Named preset (strongsort_api.py docstring): the DeepSORT
+            # core with StrongSORT's upgrades — EMA appearance bank +
+            # NSA Kalman + camera-motion compensation (GSI is offline,
+            # see postprocess.py). Explicit tracker_params/gmc override.
+            self.tracker_kind = "deepsort"
+            if gmc in (False, None):      # unset -> the preset's default
+                gmc = "affine"
+            if tracker_params is None:
+                tracker_params = TrackerParams(
+                    max_cosine_distance=config.DEEPSORT_MAX_DIST,
+                    nn_budget=1,          # EMA bank occupies slot 0 only
+                    max_iou_distance=config.DEEPSORT_MAX_IOU_DISTANCE,
+                    max_age=config.DEEPSORT_MAX_AGE,
+                    n_init=config.DEEPSORT_N_INIT,
+                    max_tracks=config.MAX_TRACKS,
+                    max_detections=config.MAX_DETECTIONS,
+                    feature_dim=config.REID_FEATURE_DIM,
+                    ema_alpha=0.9,
+                    nsa=True,
+                )
+                nsa = False   # folded into tracker_params above
         if self.tracker_kind not in ("deepsort", "bytetrack", "botsort",
                                      "ocsort"):
-            raise ValueError(f"tracker must be 'deepsort', 'bytetrack', "
-                             f"'botsort' or 'ocsort' (got {tracker})")
+            raise ValueError(f"tracker must be 'deepsort', 'strongsort', "
+                             f"'bytetrack', 'botsort' or 'ocsort' "
+                             f"(got {tracker})")
         if nsa and self.tracker_kind != "deepsort":
             raise ValueError("nsa=True requires tracker='deepsort' (the "
                              "other cores take fixed-noise updates)")

@@ -781,6 +781,30 @@ def config21_nsa_trained(frames_n=288):
           note="config 9 workload; paired A/B, off = reference noise model")
 
 
+def config23_strongsort_trained(frames_n=288):
+    """StrongSORT preset (DeepSORT core + EMA bank + NSA Kalman + affine
+    GMC) under the REALISTIC trained-detector+embedder load — the
+    config-9 scenario; directly comparable with the DeepSORT (9),
+    ByteTrack (16), OC-SORT (18) and BoT-SORT (22) rows on the same
+    scenes and ground truth. The static synthetic camera makes GMC's
+    estimate ~identity, so this row also prices the preset's estimation
+    overhead against config 9."""
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    ckpt = _synthetic_checkpoints("23_strongsort_trained")
+    if ckpt is None:
+        return
+    arr, gt, _ = _trained_world_frames(frames_n)
+    pipe = TrackingPipeline(chunk_size=96, tracker="strongsort",
+                            yolo_weights=ckpt[0], reid_weights=ckpt[1])
+    runs, n = _timed_run(pipe, arr)
+    mot, hota = _replay_quality(pipe, arr, gt)
+    _emit("23_strongsort_trained", runs[1], frames=n,
+          method="median_of_3", mota=round(mot.mota, 3),
+          motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          hota=round(hota.hota, 3),
+          note="same workload as configs 9/16/18/22; EMA+NSA+GMC preset")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
@@ -791,7 +815,8 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            15: config15_bytetrack_clip, 16: config16_bytetrack_trained,
            17: config17_ocsort_clip, 18: config18_ocsort_trained,
            19: config19_ema_gallery_trained, 20: config20_gmc_pan,
-           21: config21_nsa_trained, 22: config22_botsort_trained}
+           21: config21_nsa_trained, 22: config22_botsort_trained,
+           23: config23_strongsort_trained}
 
 
 def main():
