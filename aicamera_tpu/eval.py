@@ -1,11 +1,13 @@
-"""Evaluation: CLEAR-MOT + HOTA tracking metrics and COCO-style detection mAP.
+"""Evaluation: CLEAR-MOT + HOTA + IDF1 tracking metrics, COCO detection mAP.
 
 The reference lists MOT metrics as future work (reference README.md:212) —
 this module provides them: the CLEAR-MOT protocol with IoU-based
 frame-by-frame correspondence (Hungarian on 1-IoU with a match gate),
-tracking ID consistency across frames, plus HOTA (Luiten et al., IJCV
+tracking ID consistency across frames, HOTA (Luiten et al., IJCV
 2021 — the current MOT-challenge headline metric, which CLEAR-MOT's
-FN+FP-dominated MOTA under-weights association for).
+FN+FP-dominated MOTA under-weights association for), and the Identity
+metrics IDF1/IDP/IDR (Ristani et al., ECCV 2016 — global trajectory-level
+identity preservation, via :func:`evaluate_identity`).
 
 Use :func:`evaluate_mot` / :func:`evaluate_hota` on per-frame (ground
 truth, hypothesis) box/id lists, e.g. to score the tracker against
@@ -246,6 +248,101 @@ def evaluate_hota(gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
         ass_a=float(ass_a.mean()), loc_a=float(loc_a.mean()),
         hota_by_alpha={round(al, 2): float(h)
                        for al, h in zip(alphas, hota_a)},
+        num_gt=num_gt, num_hyp=num_hyp)
+
+
+@dataclasses.dataclass
+class IdentityResult:
+    """Identity metrics (Ristani et al., ECCV 2016): trajectory-level
+    identity precision/recall/F1 under a GLOBAL one-to-one gt<->hyp
+    trajectory assignment (contrast CLEAR-MOT, which re-matches per frame
+    and counts switches locally)."""
+    idf1: float
+    idp: float           # IDTP / (IDTP + IDFP)
+    idr: float           # IDTP / (IDTP + IDFN)
+    idtp: int
+    idfp: int
+    idfn: int
+    num_gt: int
+    num_hyp: int
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+def evaluate_identity(gt_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+                      hyp_frames: Sequence[Tuple[np.ndarray, np.ndarray]],
+                      iou_threshold: float = 0.5) -> IdentityResult:
+    """IDF1/IDP/IDR over a sequence (the TrackEval Identity algorithm).
+
+    Per frame, every (gt box, hyp box) pair with IoU >= ``iou_threshold``
+    counts as a potential match for its (gt id, hyp id) trajectory pair —
+    no per-frame bijection; one-to-one-ness is enforced only globally.
+    A single linear assignment over trajectories (with per-trajectory
+    dummy columns/rows for the unmatched case) then minimizes
+    ``IDFN + IDFP``; IDTP = total gt detections - IDFN.
+
+    Args / returns: same per-frame (boxes_xyxy, ids) contract as
+    :func:`evaluate_mot`. All-empty gt AND hyp yields NaN scores.
+    """
+    assert len(gt_frames) == len(hyp_frames)
+    gt_map: Dict[int, int] = {}
+    hyp_map: Dict[int, int] = {}
+    per_frame = []
+    for (g_boxes, g_ids), (h_boxes, h_ids) in zip(gt_frames, hyp_frames):
+        g_boxes = np.asarray(g_boxes, np.float32).reshape(-1, 4)
+        h_boxes = np.asarray(h_boxes, np.float32).reshape(-1, 4)
+        gi = np.array([gt_map.setdefault(int(i), len(gt_map))
+                       for i in np.asarray(g_ids).reshape(-1)], int)
+        hi = np.array([hyp_map.setdefault(int(i), len(hyp_map))
+                       for i in np.asarray(h_ids).reshape(-1)], int)
+        per_frame.append((gi, hi, _iou_matrix(g_boxes, h_boxes)))
+
+    n_g, n_h = len(gt_map), len(hyp_map)
+    gt_count = np.zeros(n_g, np.float64)
+    hyp_count = np.zeros(n_h, np.float64)
+    potential = np.zeros((n_g, n_h), np.float64)
+    for gi, hi, iou in per_frame:
+        gt_count[gi] += 1
+        hyp_count[hi] += 1
+        if len(gi) and len(hi):
+            mg, mh = np.nonzero(iou >= iou_threshold)
+            np.add.at(potential, (gi[mg], hi[mh]), 1.0)
+
+    num_gt = int(gt_count.sum())
+    num_hyp = int(hyp_count.sum())
+    if n_g == 0 and n_h == 0:
+        nan = float("nan")
+        return IdentityResult(nan, nan, nan, 0, 0, 0, 0, 0)
+
+    # Padded square assignment (TrackEval identity.py): row i<n_g is gt
+    # trajectory i, row n_g+j is hyp j's "unmatched" dummy; col j<n_h is
+    # hyp trajectory j, col n_h+i is gt i's dummy. Off-diagonal dummy
+    # pairings are forbidden via a large cost.
+    big = 1e10
+    fn_mat = np.zeros((n_g + n_h, n_g + n_h))
+    fp_mat = np.zeros_like(fn_mat)
+    fn_mat[:n_g, n_h:] = big
+    fp_mat[n_g:, :n_h] = big
+    for g in range(n_g):
+        fn_mat[g, :n_h] = gt_count[g]
+        fn_mat[g, n_h + g] = gt_count[g]
+    for h in range(n_h):
+        fp_mat[:n_g, h] = hyp_count[h]
+        fp_mat[n_g + h, h] = hyp_count[h]
+    fn_mat[:n_g, :n_h] -= potential
+    fp_mat[:n_g, :n_h] -= potential
+
+    rows, cols = linear_sum_assignment(fn_mat + fp_mat)
+    idfn = int(fn_mat[rows, cols].sum())
+    idfp = int(fp_mat[rows, cols].sum())
+    idtp = num_gt - idfn
+    idf1 = idtp / max(idtp + 0.5 * idfn + 0.5 * idfp, 1e-9)
+    return IdentityResult(
+        idf1=float(idf1),
+        idp=idtp / max(idtp + idfp, 1e-9),
+        idr=idtp / max(idtp + idfn, 1e-9),
+        idtp=idtp, idfp=idfp, idfn=idfn,
         num_gt=num_gt, num_hyp=num_hyp)
 
 

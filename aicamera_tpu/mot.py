@@ -135,6 +135,20 @@ def evaluate_sequence_hota(gt_path: str | Path,
     return evaluate_hota(gt_list, hyp_list)
 
 
+def evaluate_sequence_identity(gt_path: str | Path,
+                               result_path: str | Path,
+                               iou_threshold: float = 0.5
+                               ) -> "IdentityResult":
+    """IDF1/IDP/IDR for one sequence's results file against its gt.txt
+    (eval.py::evaluate_identity — global trajectory-level identity)."""
+    from .eval import evaluate_identity
+    gt = load_mot_file(gt_path, min_confidence=1,
+                       target_classes=GT_TARGET_CLASSES)
+    hyp = load_mot_file(result_path)
+    gt_list, hyp_list = _frames_to_eval_lists(gt, hyp)
+    return evaluate_identity(gt_list, hyp_list, iou_threshold=iou_threshold)
+
+
 def aggregate(results: Dict[str, MOTResult]) -> MOTResult:
     """Pool raw error counts across sequences (the devkit OVERALL row)."""
     fp = sum(r.false_positives for r in results.values())
@@ -239,6 +253,7 @@ def main(argv=None):
 
     results: Dict[str, MOTResult] = {}
     hotas = {}
+    idents = {}
     gsis = {}
     for seq in seqs:
         gt_path = seq / "gt" / "gt.txt"
@@ -250,6 +265,8 @@ def main(argv=None):
         results[seq.name] = evaluate_sequence(gt_path, res_path,
                                               iou_threshold=args.iou)
         hotas[seq.name] = evaluate_sequence_hota(gt_path, res_path)
+        idents[seq.name] = evaluate_sequence_identity(
+            gt_path, res_path, iou_threshold=args.iou)
         if args.gsi:
             from .eval import evaluate_hota
             from .postprocess import gsi_smooth
@@ -271,8 +288,11 @@ def main(argv=None):
     for name, r in results.items():
         row = r.as_dict()
         h = hotas[name]
+        ident = idents[name]
         row.update(hota=round(h.hota, 4), det_a=round(h.det_a, 4),
-                   ass_a=round(h.ass_a, 4))
+                   ass_a=round(h.ass_a, 4),
+                   idf1=round(ident.idf1, 4), idp=round(ident.idp, 4),
+                   idr=round(ident.idr, 4))
         if name in gsis:
             g_mot, g_hota = gsis[name]
             row.update(gsi_mota=round(g_mot.mota, 4),

@@ -77,6 +77,24 @@ def test_evaluate_sequence_perfect_and_noisy(tmp_path):
     assert r2.mota == pytest.approx(1.0 - 2 / 20)
 
 
+def test_evaluate_sequence_identity(tmp_path):
+    gt_lines, res_lines = [], []
+    for t in range(1, 11):
+        x = 10 + 5 * t
+        gt_lines.append(f"{t},1,{x},50,20,40,1,1,1.0")
+        # hyp id flips at frame 6 -> IDTP=5, IDFN=5, IDFP=5 -> IDF1=0.5
+        hid = 11 if t <= 5 else 12
+        res_lines.append(f"{t},{hid},{x},50,20,40,0.9,-1,-1")
+    gt_p = tmp_path / "seq" / "gt" / "gt.txt"
+    res_p = tmp_path / "res.txt"
+    _write(gt_p, gt_lines)
+    _write(res_p, res_lines)
+    from aicamera_tpu.mot import evaluate_sequence_identity
+    r = evaluate_sequence_identity(gt_p, res_p)
+    assert r.idf1 == pytest.approx(0.5)
+    assert (r.idtp, r.idfn, r.idfp) == (5, 5, 5)
+
+
 def test_aggregate_pools_counts():
     a = MOTResult(mota=0.9, motp=0.8, id_switches=1, false_positives=2,
                   misses=3, matches=10, num_gt=60)
