@@ -111,6 +111,12 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                              "1 = lowest latency).")
     parser.add_argument("--max_frames", type=int, default=None,
                         help="Stop after this many frames.")
+    parser.add_argument("--native_io", action="store_true",
+                        help="Decode with the native C++ reader "
+                             "(native/video_reader.cpp: GIL-free decode "
+                             "thread + chunk-granular drains). Falls back "
+                             "to the Python threaded reader if the native "
+                             "library is unavailable.")
     parser.add_argument("--draw_detections", action="store_true",
                         help="Also draw raw detections under the tracks.")
     parser.add_argument("--profile", action="store_true",
@@ -155,7 +161,18 @@ def main(argv=None):
 
     # --- video input ----------------------------------------------------------
     source = args.input if args.input else args.webcam_id
-    reader = VideoReader(source, max_frames=args.max_frames)
+    reader = None
+    if args.native_io:
+        from .native import video_available
+        if video_available():
+            from .utils.video_io import NativeVideoReader
+            reader = NativeVideoReader(source, max_frames=args.max_frames)
+            print("Using native C++ video decoder")
+        else:
+            print("WARNING: --native_io requested but the native video "
+                  "decoder is unavailable; using the Python reader")
+    if reader is None:
+        reader = VideoReader(source, max_frames=args.max_frames)
     source_name = (Path(args.input).stem if args.input
                    else f"webcam{args.webcam_id}")
     print(f"Input: {source_name} ({reader.width}x{reader.height} @ "

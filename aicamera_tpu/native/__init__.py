@@ -57,6 +57,55 @@ def available() -> bool:
     return _load() is not None
 
 
+_VIDEO_LIB_PATH = _NATIVE_DIR / "libaicam_video.so"
+_video_lib = None
+_video_tried = False
+
+
+def _load_video():
+    """Load the native video decoder library (native/video_reader.cpp).
+
+    Built separately from the core host lib because it links OpenCV C++;
+    when the OpenCV dev files or the toolchain are absent the build skips
+    it and callers fall back to the Python threaded reader."""
+    global _video_lib, _video_tried
+    if _video_lib is not None or _video_tried:
+        return _video_lib
+    _video_tried = True
+    if not _VIDEO_LIB_PATH.exists():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "video"],
+                           check=True, capture_output=True, timeout=300)
+        except Exception:
+            return None
+    if not _VIDEO_LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_VIDEO_LIB_PATH))
+    except OSError:
+        return None
+    lib.vr_open.restype = ctypes.c_void_p
+    lib.vr_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                            ctypes.c_longlong]
+    lib.vr_info.restype = ctypes.c_int
+    lib.vr_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                            ctypes.POINTER(ctypes.c_int),
+                            ctypes.POINTER(ctypes.c_double),
+                            ctypes.POINTER(ctypes.c_longlong)]
+    lib.vr_read.restype = ctypes.c_int
+    lib.vr_read.argtypes = [ctypes.c_void_p,
+                            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.vr_close.restype = None
+    lib.vr_close.argtypes = [ctypes.c_void_p]
+    _video_lib = lib
+    return _video_lib
+
+
+def video_available() -> bool:
+    """True when the native video decoder is built and loadable."""
+    return _load_video() is not None
+
+
 def lapjv(cost: np.ndarray) -> np.ndarray:
     """Optimal assignment on an (nr, nc) cost matrix, nr <= nc.
 

@@ -75,6 +75,91 @@ class VideoReader:
         self.cap.release()
 
 
+class NativeVideoReader:
+    """Frame reader over the native C++ decoder (native/video_reader.cpp).
+
+    Decode runs on a C++ thread with no GIL involvement, buffering into a
+    bounded ring; frames are drained in whole chunks with ONE ctypes call
+    per ``read_chunk`` (one Python crossing per device dispatch instead of
+    one per frame). Same surface as :class:`VideoReader` (``frames()``,
+    ``fps/width/height/frame_count/is_webcam``, ``release``) plus
+    :meth:`read_chunk`.
+
+    Raises RuntimeError when the native library is unavailable — callers
+    that want graceful degradation should check
+    ``aicamera_tpu.native.video_available()`` first.
+    """
+
+    def __init__(self, source, queue_depth: int = 64,
+                 max_frames: Optional[int] = None):
+        import ctypes
+
+        from .. import native as _native
+
+        lib = _native._load_video()
+        if lib is None:
+            raise RuntimeError(
+                "native video decoder unavailable (OpenCV C++ dev files or "
+                "toolchain missing); use utils.video_io.VideoReader")
+        self._lib = lib
+        if isinstance(source, int):
+            self.is_webcam = True
+            handle = lib.vr_open(b"", source, queue_depth,
+                                 -1 if max_frames is None else max_frames)
+        else:
+            self.is_webcam = False
+            if not Path(str(source)).exists():
+                raise FileNotFoundError(f"Input video not found: {source}")
+            handle = lib.vr_open(str(source).encode(), -1, queue_depth,
+                                 -1 if max_frames is None else max_frames)
+        if not handle:
+            raise RuntimeError(f"Could not open video source: {source}")
+        self._handle = handle
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        count = ctypes.c_longlong()
+        lib.vr_info(handle, ctypes.byref(w), ctypes.byref(h),
+                    ctypes.byref(fps), ctypes.byref(count))
+        self.width = w.value
+        self.height = h.value
+        self.fps = fps.value or config.DEFAULT_OUTPUT_FPS
+        self.frame_count = max(int(count.value), 0)
+        self.max_frames = max_frames
+
+    def read_chunk(self, k: int) -> np.ndarray:
+        """Block until k frames are decoded (or EOF) and return them as one
+        (n, H, W, 3) BGR uint8 array, n <= k; n == 0 at end of stream."""
+        import ctypes
+        if self._handle is None:
+            return np.zeros((0, self.height, self.width, 3), np.uint8)
+        buf = np.empty((k, self.height, self.width, 3), np.uint8)
+        n = self._lib.vr_read(
+            self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            k)
+        if n < 0:
+            raise RuntimeError("native video read failed")
+        return buf[:n]
+
+    def frames(self) -> Iterator[np.ndarray]:
+        while True:
+            chunk = self.read_chunk(1)
+            if len(chunk) == 0:
+                return
+            yield chunk[0]
+
+    def release(self):
+        if self._handle is not None:
+            self._lib.vr_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass
+
+
 class VideoWriter:
     """Threaded mp4 writer (mp4v, falling back to XVID/avi like the
     reference, aicamera_tracker.py:138-156)."""

@@ -1,0 +1,105 @@
+"""Native C++ video decoder tests (native/video_reader.cpp), validated
+bitwise against Python cv2.VideoCapture on the reference clip."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from aicamera_tpu.native import video_available
+
+CLIP = Path("/root/reference/assets/aicamera_test_clip.mp4")
+
+pytestmark = pytest.mark.skipif(
+    not video_available() or not CLIP.exists(),
+    reason="native video decoder or reference clip unavailable")
+
+
+def _cv2_frames(n):
+    import cv2
+    cap = cv2.VideoCapture(str(CLIP))
+    out = []
+    while len(out) < n:
+        ok, f = cap.read()
+        if not ok:
+            break
+        out.append(f)
+    cap.release()
+    return out
+
+
+def test_info_matches_cv2():
+    import cv2
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    cap = cv2.VideoCapture(str(CLIP))
+    r = NativeVideoReader(CLIP)
+    try:
+        assert r.width == int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        assert r.height == int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        assert r.fps == pytest.approx(cap.get(cv2.CAP_PROP_FPS))
+        assert r.frame_count == int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        assert not r.is_webcam
+    finally:
+        r.release()
+        cap.release()
+
+
+def test_frames_bitwise_match_cv2():
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    want = _cv2_frames(40)
+    r = NativeVideoReader(CLIP, max_frames=40)
+    try:
+        got = list(r.frames())
+    finally:
+        r.release()
+    assert len(got) == len(want) == 40
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_read_chunk_drains_and_signals_eof():
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    r = NativeVideoReader(CLIP, max_frames=100)
+    try:
+        total = 0
+        sizes = []
+        while True:
+            c = r.read_chunk(64)
+            if len(c) == 0:
+                break
+            assert c.shape[1:] == (r.height, r.width, 3)
+            assert c.dtype == np.uint8
+            sizes.append(len(c))
+            total += len(c)
+        assert total == 100
+        # full chunks except possibly the last (blocking-fill semantics)
+        assert sizes[:-1] == [64] * (len(sizes) - 1)
+        # EOF is sticky
+        assert len(r.read_chunk(8)) == 0
+    finally:
+        r.release()
+
+
+def test_chunk_content_matches_cv2():
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    want = np.stack(_cv2_frames(32))
+    r = NativeVideoReader(CLIP, max_frames=32)
+    try:
+        got = r.read_chunk(32)
+    finally:
+        r.release()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_missing_file_raises():
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    with pytest.raises(FileNotFoundError):
+        NativeVideoReader("/nonexistent/video.mp4")
+
+
+def test_release_mid_stream_joins_cleanly():
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    r = NativeVideoReader(CLIP)
+    r.read_chunk(8)
+    r.release()   # decode thread blocked on a full ring must unblock
+    r.release()   # idempotent
