@@ -10,7 +10,9 @@ axis of the same convolutions).
 """
 
 from .multistream import MultiStreamPipeline, make_mesh, make_stream_mesh
+from .pipeline_parallel import PipelineParallelDetector, split_stage_params
 from .tensor_parallel import replicate_params, shard_detector_params
 
 __all__ = ["MultiStreamPipeline", "make_mesh", "make_stream_mesh",
+           "PipelineParallelDetector", "split_stage_params",
            "replicate_params", "shard_detector_params"]

@@ -1,0 +1,129 @@
+"""Pipeline parallelism: depth-wise stage split of the detector forward.
+
+The reference is single-GPU with no model-parallel story (SURVEY §5).
+This framework already scales data-parallel over streams
+(:mod:`multistream`) and tensor-parallel over conv channels
+(:mod:`tensor_parallel`); this module adds the third axis — PIPELINE
+parallelism: the detector's three natural stages (CSP backbone, PAN-FPN
+neck, decoupled head — `models/yolov8.py`) live on different devices and
+microbatches stream through them GPipe-style.
+
+No custom scheduler is needed: JAX dispatch is asynchronous, so enqueueing
+stage k of microbatch i immediately after stage k of microbatch i-1 lets
+XLA run stage k(i) on its device while stage k+1(i-1) executes on the
+next — the host race-ahead builds the pipeline, and inter-stage activation
+transfers ride ICI on a real TPU mesh (explicit `jax.device_put` between
+committed device placements). Steady-state throughput is bounded by the
+slowest stage, with (n_stages - 1) microbatches of fill/drain bubble.
+
+Use cases: model variants whose weights + activations outgrow one chip's
+HBM (YOLOv8x at 4K inputs), or composing with stream parallelism on a 2-D
+mesh (streams x stages). For single-chip serving the fused single-program
+forward in `runtime/pipeline.py` is always preferable — XLA fuses across
+stage boundaries there; stage-splitting trades that fusion for placement
+freedom.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.yolov8 import Backbone, DetectHead, Neck
+
+__all__ = ["PipelineParallelDetector", "split_stage_params"]
+
+
+def split_stage_params(full_params) -> Tuple[Any, Any, Any]:
+    """Split a full YOLOv8 param tree into per-stage trees.
+
+    The full model nests its submodules under ``backbone`` / ``neck`` /
+    ``head`` (`models/yolov8.py::YOLOv8`), so the standalone stage modules
+    accept the corresponding subtrees directly. Works with the trees from
+    `runtime/params.py::resolve_yolo_params` (ONNX-imported, msgpack or
+    seeded-random).
+    """
+    p = full_params["params"]
+    return ({"params": p["backbone"]}, {"params": p["neck"]},
+            {"params": p["head"]})
+
+
+class PipelineParallelDetector:
+    """Stage-split YOLOv8 forward over up to three devices.
+
+    Args:
+        variant: YOLOv8 variant letter (n/s/m/l/x).
+        devices: stage placement, one device per stage (backbone, neck,
+            head). Fewer than three devices cycle (e.g. two devices put
+            backbone on 0, neck on 1, head on 0); a single device is the
+            degenerate-but-valid case (useful as a numerics oracle: the
+            same three-program split without cross-device hops).
+        num_classes / dtype: forwarded to the stage modules.
+
+    ``forward(full_params, frames, microbatch)`` returns exactly the full
+    model's per-level (box_bins, cls_logits) outputs, so the result feeds
+    `ops/nms.py::fused_decode_nms` unchanged.
+    """
+
+    def __init__(self, variant: str = "n",
+                 devices: Optional[Sequence[Any]] = None,
+                 num_classes: int = 80,
+                 dtype: jnp.dtype = jnp.bfloat16):
+        if devices is None:
+            devices = jax.devices()[:3]
+        if not devices:
+            raise ValueError("need at least one device")
+        self.devices = [devices[i % len(devices)] for i in range(3)]
+        self.variant = variant
+        backbone = Backbone(variant, dtype=dtype)
+        neck = Neck(variant, dtype=dtype)
+        head = DetectHead(variant, num_classes, dtype=dtype)
+
+        # One jitted program per stage. Computation placement follows the
+        # committed device of the arguments (params + activations are
+        # device_put to the stage device), so no placement args needed.
+        self._stage_fns = (
+            jax.jit(lambda p, x: backbone.apply(p, x)),
+            jax.jit(lambda p, f: neck.apply(p, *f)),
+            jax.jit(lambda p, f: head.apply(p, f)),
+        )
+        self._stage_params = None
+
+    def place_params(self, full_params) -> None:
+        """Commit each stage's params to its device (one-time upload)."""
+        trees = split_stage_params(full_params)
+        self._stage_params = tuple(
+            jax.device_put(t, d) for t, d in zip(trees, self.devices))
+
+    def forward(self, frames, microbatch: Optional[int] = None):
+        """Run the detector over ``frames`` (B, H, W, C float in [0, 1]).
+
+        Splits the batch into microbatches and streams them through the
+        stages; returns the per-level outputs concatenated over the batch
+        axis. ``microbatch=None`` uses B // 2 (two in flight) — at least
+        two microbatches are required for any overlap.
+        """
+        if self._stage_params is None:
+            raise RuntimeError("call place_params(full_params) first")
+        b = frames.shape[0]
+        mb = microbatch or max(1, b // 2)
+        if b % mb:
+            raise ValueError(f"batch {b} not divisible by microbatch {mb}")
+        bp, np_, hp = self._stage_params
+        f_back, f_neck, f_head = self._stage_fns
+        outs = []
+        for i in range(0, b, mb):
+            x = jax.device_put(frames[i:i + mb], self.devices[0])
+            feats = f_back(bp, x)
+            feats = jax.device_put(feats, self.devices[1])
+            feats = f_neck(np_, feats)
+            feats = jax.device_put(feats, self.devices[2])
+            outs.append(f_head(hp, feats))
+            # async dispatch: the next microbatch's backbone enqueues
+            # immediately; no block_until_ready inside the loop.
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
