@@ -26,14 +26,26 @@ def _no_persistent_compile_cache():
     """Persistent compile cache OFF for this module only.
 
     The large bucketed-scan executables compiled here reproducibly
-    segfault XLA:CPU's AOT serializer (jax 0.9.0): three suite runs on
+    segfault XLA:CPU's AOT serializer (jax 0.9.0): suite runs on
     2026-08-19/20 died at this module inside put/get_executable_and_time
     (serialize on write, deserialize on read), while a cache-disabled run
     completed cleanly. Everything else keeps the warm cache; this module
-    pays its compile time each run."""
+    pays its compile time each run.
+
+    The config flip alone is NOT enough mid-suite: jax memoizes the
+    cache-enabled decision per process (compilation_cache.is_cache_used's
+    _cache_checked global), so after any earlier test compiled through
+    the cache the flag flip is silently ignored — which is exactly how
+    the full suite kept segfaulting here while this module passed
+    standalone. reset_cache() clears that memoization (and the cache
+    object); a second reset on teardown lets the rest of the suite
+    re-adopt the warm cache."""
+    from jax._src import compilation_cache as _cc
     jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
     yield
     jax.config.update("jax_enable_compilation_cache", True)
+    _cc.reset_cache()
 
 from aicamera_tpu.core import (TrackerParams, init_state, make_detections,
                                predict, update)
