@@ -196,6 +196,72 @@ def make_train_step(model, world: WorldSpec, spec: LetterboxSpec,
     return multi_step
 
 
+def make_train_step_dp(model, world: WorldSpec, spec: LetterboxSpec,
+                       input_hw: Tuple[int, int], cfg: TrainConfig, tx,
+                       mesh, axis: str = "batch"):
+    """Data-parallel variant of :func:`make_train_step` over a mesh axis.
+
+    The per-step batch (scenes rendered on device from PRNG keys) is
+    GSPMD-sharded over ``mesh``'s ``axis``: each device renders and
+    forward/backwards its shard, and XLA inserts the one gradient
+    all-reduce implied by the batch-mean (riding ICI on a real slice —
+    the canonical pjit data-parallel recipe; no explicit collectives,
+    no pmap). Params and optimizer state stay replicated.
+
+    Returns a jitted ``multi_step(params, opt_state, key)`` with the same
+    contract as :func:`make_train_step`. ``cfg.batch`` must divide evenly
+    over the axis.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_shard = mesh.shape[axis]
+    if cfg.batch % n_shard:
+        raise ValueError(
+            f"cfg.batch={cfg.batch} not divisible by mesh axis "
+            f"'{axis}' size {n_shard}")
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(axis))
+
+    def one_image_loss(params, key):
+        ko, kr = jax.random.split(key)
+        obj = random_objects(ko, world)
+        frame = render(obj, world, kr)
+        gt_xyxy, gt_cls, gt_valid = ground_truth(obj, world)
+        x = preprocess_yolo(frame, spec, out_dtype=model.dtype)[0]
+        levels = model.apply(params, x[None])
+        cls_t, box_t, pos = build_targets(
+            gt_xyxy, gt_cls, gt_valid, spec, input_hw)
+        return detection_loss(levels, cls_t, box_t, pos, cfg)
+
+    def batch_loss(params, key):
+        keys = jax.random.split(key, cfg.batch)
+        # shard the example axis: everything derived from a key (scene,
+        # forward, per-example loss) lands on that key's device
+        keys = jax.lax.with_sharding_constraint(keys, batch_sharded)
+        loss, aux = jax.vmap(lambda k: one_image_loss(params, k))(keys)
+        return jnp.mean(loss), jax.tree.map(jnp.mean, aux)
+
+    grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
+
+    def one_step(carry, key):
+        params, opt_state = carry
+        (loss, aux), grads = grad_fn(params, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (loss, aux)
+
+    def multi_step(params, opt_state, key):
+        keys = jax.random.split(key, cfg.scan)
+        (params, opt_state), (losses, auxes) = jax.lax.scan(
+            one_step, (params, opt_state), keys)
+        return params, opt_state, losses, auxes
+
+    return jax.jit(
+        multi_step,
+        in_shardings=(replicated, replicated, replicated),
+        out_shardings=(replicated, replicated, replicated, replicated))
+
+
 @dataclasses.dataclass(frozen=True)
 class ReIDTrainConfig:
     scenes: int = 4                 # scenes per step (each x2 views)
