@@ -43,5 +43,14 @@ jax.config.update("jax_compilation_cache_dir", str(_cache))
 # tiny eager-op programs just churn the cache dir. NOTE this floor does
 # NOT prevent the XLA:CPU AOT serializer segfault on the large
 # bucketed-scan executables — that is handled by disabling the cache for
-# the affected module (tests/test_scan_bucket.py fixture).
+# the affected module (tests/test_scan_bucket_impl.py fixture).
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+# Not auto-collected: test_scan_bucket.py runs it in an ISOLATED
+# subprocess. XLA:CPU flakily segfaults on this module's large
+# bucketed-scan compiles in long-lived suite processes only — two suite
+# runs on 2026-08-20 died inside jit compilation / cache serialization at
+# this module (different tests, different jax frames) while every
+# standalone run of the module passes. Process isolation runs it in the
+# configuration that has always been clean.
+collect_ignore = ["test_scan_bucket_impl.py"]
