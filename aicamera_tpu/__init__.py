@@ -36,6 +36,7 @@ _LAZY_EXPORTS = {
     "BoTSORT": "aicamera_tpu.botsort_api",
     "StrongSORT": "aicamera_tpu.strongsort_api",
     "OCSort": "aicamera_tpu.ocsort_api",
+    "DeepOCSort": "aicamera_tpu.deepocsort_api",
     "ReIDModel": "aicamera_tpu.tracker_api",
     "TrackingPipeline": "aicamera_tpu.runtime.pipeline",
     "MultiStreamPipeline": "aicamera_tpu.parallel",

@@ -56,7 +56,7 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                         help="YOLOv8 variant.")
     parser.add_argument("--tracker", type=str, default="deepsort",
                         choices=("deepsort", "strongsort", "bytetrack",
-                                 "botsort", "ocsort"),
+                                 "botsort", "ocsort", "deepocsort"),
                         help="Tracking algorithm: 'deepsort' (reference "
                              "parity, appearance + motion), 'strongsort' "
                              "(DeepSORT + the StrongSORT preset: EMA "
@@ -70,7 +70,11 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                              "'ocsort' (observation-centric motion "
                              "tracking: OCM momentum bonus, last-"
                              "observation recovery, re-update on revival; "
-                             "no ReID stage).")
+                             "no ReID stage) or 'deepocsort' (OC-SORT + "
+                             "Deep OC-SORT's adaptively weighted ReID "
+                             "appearance fusion and dynamic-alpha EMA "
+                             "banks; add --gmc affine for the paper's "
+                             "full stack).")
     parser.add_argument("--gallery_strategy", type=str, default="fifo",
                         choices=("fifo", "ema"),
                         help="DeepSORT appearance memory: 'fifo' ring of "
@@ -221,7 +225,9 @@ def main(argv=None):
     if args.resume:
         from .runtime.checkpoint import load_state
         resume_params = {"bytetrack": pipeline.bytetrack_params,
+                         "botsort": pipeline.bytetrack_params,
                          "ocsort": pipeline.ocsort_params,
+                         "deepocsort": pipeline.ocsort_params,
                          }.get(pipeline.tracker_kind,
                                pipeline.tracker_params)
         pipeline.state = load_state(args.resume, resume_params)

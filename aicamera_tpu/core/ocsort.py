@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -163,7 +164,19 @@ def speed_direction(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class OCSortParams:
-    """Static OC-SORT hyper-parameters (official OCSort defaults)."""
+    """Static OC-SORT hyper-parameters (official OCSort defaults).
+
+    ``with_appearance=True`` turns the step into **Deep OC-SORT**
+    (Maggiolino et al., ICIP 2023): one EMA-smoothed L2-normalized ReID
+    embedding per track, fused into the round-1 association objective as
+    ``iou + ocm_bonus + aw_weight * cosine_sim`` with the official
+    adaptive weighting (per-row/column top-2 discriminativity, zeroed
+    where boxes don't overlap) and updated with the official
+    confidence-modulated "dynamic" alpha. Round 2 (OCR) stays IoU-only —
+    the official implementation computes an embedding term there but does
+    not use it in the assignment (its own code carries a "TODO: is better
+    without this"). ``with_appearance=False`` compiles to the exact
+    motion-only OC-SORT step (appearance fields are None)."""
     det_thresh: float = 0.6
     max_age: int = 30
     min_hits: int = 3
@@ -172,6 +185,13 @@ class OCSortParams:
     inertia: float = 0.2          # velocity-direction-consistency weight
     max_tracks: int = 128
     max_detections: int = 64
+    # Deep OC-SORT appearance options (official defaults: alpha_fixed_emb
+    # 0.95, w_association_emb 0.75, aw_param 0.5)
+    with_appearance: bool = False
+    feature_dim: int = 512
+    alpha_fixed_emb: float = 0.95
+    w_assoc_emb: float = 0.75
+    aw_param: float = 0.5
 
 
 @struct.dataclass
@@ -198,6 +218,10 @@ class OCSortState:
     frame_count: jnp.ndarray   # () int32
     next_id: jnp.ndarray       # () int32
     dropped: jnp.ndarray       # () int32
+    # Deep OC-SORT appearance bank (None unless params.with_appearance):
+    # one EMA-smoothed L2-normalized embedding per slot; zeros = no
+    # embedding yet (cosine contribution 0, neutral)
+    emb: Optional[jnp.ndarray] = None          # (T, F) f32
 
 
 @struct.dataclass
@@ -208,6 +232,9 @@ class OCSortDetections:
     score: jnp.ndarray         # (N,) f32
     class_id: jnp.ndarray      # (N,) int32
     valid: jnp.ndarray         # (N,) bool
+    # ReID features (None unless the step runs with_appearance):
+    feature: Optional[jnp.ndarray] = None      # (N, F) f32
+    has_feature: Optional[jnp.ndarray] = None  # (N,) bool
 
 
 def init_state(params: OCSortParams) -> OCSortState:
@@ -234,12 +261,19 @@ def init_state(params: OCSortParams) -> OCSortState:
         frame_count=jnp.int32(0),
         next_id=jnp.int32(1),
         dropped=jnp.int32(0),
+        emb=(jnp.zeros((t, params.feature_dim), jnp.float32)
+             if params.with_appearance else None),
     )
 
 
 def make_detections(xyxy, score, class_id, valid=None, *,
+                    feature=None, has_feature=None,
                     params: OCSortParams) -> OCSortDetections:
-    """Pad raw per-frame detections to the static capacity."""
+    """Pad raw per-frame detections to the static capacity.
+
+    ``feature``: ``(k, F)`` ReID embeddings (rows of zeros = no feature),
+    required shape only when ``params.with_appearance``; ignored otherwise.
+    """
     n = params.max_detections
     xyxy = jnp.asarray(xyxy, jnp.float32).reshape(-1, 4)
     k = xyxy.shape[0]
@@ -253,11 +287,28 @@ def make_detections(xyxy, score, class_id, valid=None, *,
         valid = jnp.asarray(valid, jnp.bool_).reshape(-1)
     valid = valid & jnp.isfinite(xyxy).all(-1)
     pad = n - k
+    feat = hasf = None
+    if params.with_appearance:
+        if feature is None:
+            feat = jnp.zeros((n, params.feature_dim), jnp.float32)
+            hasf = jnp.zeros((n,), jnp.bool_)
+        else:
+            feature = jnp.asarray(feature, jnp.float32).reshape(
+                -1, params.feature_dim)
+            feat = jnp.pad(feature, ((0, n - feature.shape[0]), (0, 0)))
+            if has_feature is None:
+                hasf = jnp.pad(jnp.any(feature != 0.0, axis=-1),
+                               (0, n - feature.shape[0]))
+            else:
+                has_feature = jnp.asarray(has_feature, jnp.bool_).reshape(-1)
+                hasf = jnp.pad(has_feature, (0, n - has_feature.shape[0]))
     return OCSortDetections(
         xyxy=jnp.pad(xyxy, ((0, pad), (0, 0))),
         score=jnp.pad(score, (0, pad)),
         class_id=jnp.pad(class_id, (0, pad)),
         valid=jnp.pad(valid, (0, pad)),
+        feature=feat,
+        has_feature=hasf,
     )
 
 
@@ -284,14 +335,53 @@ def _claimed(match: jnp.ndarray, n_cols: int) -> jnp.ndarray:
         jnp.where(match >= 0, match, n_cols)].set(True)[:n_cols]
 
 
+def _aw_weight_matrix(sim: jnp.ndarray, rows: jnp.ndarray,
+                      cols: jnp.ndarray, w_emb: float,
+                      bottom: float) -> jnp.ndarray:
+    """Deep OC-SORT adaptive weighting (official compute_aw_max_metric,
+    vectorized): per row and per column, the embedding weight scales with
+    how discriminative the similarity is — ``1 - max(second/first -
+    bottom, 0) / (1 - bottom)`` over the top-2 entries, 0 when the best
+    is exactly 0, 1 when fewer than two candidates exist. The final
+    matrix is ``w_emb * row_weight * col_weight``.
+
+    ``sim`` is the padded (T, N) similarity (already zeroed where boxes
+    don't overlap); ``rows`` / ``cols`` mask the real tracks/detections —
+    masked entries are excluded from the top-2 (the official matrix only
+    spans real pairs). Deviation from the official in one pathological
+    case: when every candidate similarity in a line is negative the
+    official ratio can push the weight below zero (flipping the term's
+    sign); here weights clamp to [0, 1]."""
+    valid = rows[:, None] & cols[None, :]
+    masked = jnp.where(valid, sim, -jnp.inf)
+
+    def axis_weight(m, n_valid):
+        top2 = jax.lax.top_k(m, 2)[0]
+        first, second = top2[:, 0], top2[:, 1]
+        safe_first = jnp.where(first == 0.0, 1.0, first)
+        w = 1.0 - jnp.maximum(second / safe_first - bottom, 0.0) \
+            / (1.0 - bottom)
+        w = jnp.where(first == 0.0, 0.0, w)
+        w = jnp.where(n_valid < 2, 1.0, w)  # official: continue (keep w)
+        return jnp.clip(w, 0.0, 1.0)
+
+    row_w = axis_weight(masked, jnp.sum(valid, axis=1))
+    col_w = axis_weight(masked.T, jnp.sum(valid, axis=0))
+    return w_emb * row_w[:, None] * col_w[None, :]
+
+
 def _associate_ocm(iou: jnp.ndarray, bonus: jnp.ndarray,
                    rows: jnp.ndarray, cols: jnp.ndarray,
-                   iou_threshold: float) -> jnp.ndarray:
-    """First-round association: maximize IoU + OCM bonus, accept IoU >=
+                   iou_threshold: float,
+                   emb_term: Optional[jnp.ndarray] = None,
+                   emb_bound: float = 0.0) -> jnp.ndarray:
+    """First-round association: maximize IoU + OCM bonus (+ the adaptively
+    weighted appearance term in Deep OC-SORT mode), accept IoU >=
     threshold; with the official shortcut — when the IoU-above-threshold
     adjacency already forms a partial matching (every row and column sum
     is <= 1, with a max of exactly 1), take it verbatim and skip the
-    Hungarian solve."""
+    Hungarian solve (appearance only matters in the ambiguous cases,
+    exactly like the official associate())."""
     t = iou.shape[0]
     a = rows[:, None] & cols[None, :] & (iou > iou_threshold)
     row_sums = jnp.sum(a, axis=1)
@@ -306,16 +396,22 @@ def _associate_ocm(iou: jnp.ndarray, bonus: jnp.ndarray,
     def hungarian(_):
         # plain max-sum assignment (no threshold inside the solve — the
         # official lapjv call has no cost limit): shift to non-negative
-        # (bonus can be negative, down to -inertia/2); max_distance 4.0
-        # exceeds every possible cost (<= 2.0 + inertia/2), so nothing is
-        # clamped infeasible and the post-filter below applies the official
-        # IoU >= threshold rejection. Keep the bound MODEST: a huge
-        # sentinel (1e9) wrecks the f32 dual arithmetic in the solver —
-        # sub-1.0 cost differences vanish next to it and the augmenting
-        # phase returns a non-optimal matching (caught by the seed-2
-        # oracle differential).
-        cost = 3.0 - (iou + bonus)   # range [0.9, 3.1] — all under 4.0
-        return min_cost_matching(cost, rows, cols, jnp.float32(4.0))
+        # (bonus can be negative, down to -inertia/2); the feasibility
+        # bound exceeds every possible cost (<= 2.0 + inertia/2 [+ the
+        # emb bound]), so nothing is clamped infeasible and the
+        # post-filter below applies the official IoU >= threshold
+        # rejection. Keep the bound MODEST: a huge sentinel (1e9) wrecks
+        # the f32 dual arithmetic in the solver — sub-1.0 cost
+        # differences vanish next to it and the augmenting phase returns
+        # a non-optimal matching (caught by the seed-2 oracle
+        # differential).
+        objective = iou + bonus
+        if emb_term is not None:
+            objective = objective + emb_term
+        shift = 3.0 + emb_bound
+        cost = shift - objective   # within [1.9, shift + 0.1 + emb_bound]
+        return min_cost_matching(cost, rows, cols,
+                                 jnp.float32(shift + 1.0 + emb_bound))
 
     match = jax.lax.cond(shortcut_ok, shortcut, hungarian, None)
     # post-filter: official rejects matches with IoU < threshold
@@ -391,10 +487,26 @@ def step(state: OCSortState, dets: OCSortDetections,
     nd = dets.valid.shape[0]
     neg = jnp.full((t,), -1, jnp.int32)
 
+    # Deep OC-SORT: adaptively weighted appearance term for round 1.
+    # Official associate(): raw cosine similarity (embeddings are unit
+    # norm), zeroed where boxes don't overlap (emb_cost[iou <= 0] = 0),
+    # then scaled by the per-pair adaptive weight.
+    if params.with_appearance:
+        sim = jnp.einsum("tf,nf->tn", state.emb, dets.feature,
+                         precision=_PRECISION)
+        sim = jnp.where((iou > 0.0) & dets.has_feature[None, :], sim, 0.0)
+        emb_term = sim * _aw_weight_matrix(
+            sim, active, d_ok, params.w_assoc_emb, params.aw_param)
+        emb_bound = float(params.w_assoc_emb)
+    else:
+        emb_term = None
+        emb_bound = 0.0
+
     # --- round 1: OCM association --------------------------------------------
     def round1(_):
         return _associate_ocm(iou, bonus, active, d_ok,
-                              params.iou_threshold)
+                              params.iou_threshold,
+                              emb_term=emb_term, emb_bound=emb_bound)
 
     run1 = jnp.any(active) & jnp.any(d_ok)
     match1 = jax.lax.cond(run1, round1, lambda _: neg, None)
@@ -506,6 +618,25 @@ def step(state: OCSortState, dets: OCSortDetections,
     score = jnp.where(matched, dets.score[det_idx], state.score)
     class_id = jnp.where(matched, dets.class_id[det_idx], state.class_id)
 
+    # Deep OC-SORT dynamic-appearance EMA: alpha = af + (1 - af)(1 - trust)
+    # where trust rescales the detection confidence above det_thresh —
+    # confident detections update the bank harder (official dets_alpha +
+    # KalmanBoxTracker.update_emb, both round-1 and OCR matches).
+    # Detections without a feature (beyond crop capacity) leave the bank
+    # unchanged.
+    emb = state.emb
+    if params.with_appearance:
+        trust = (dets.score - params.det_thresh) \
+            / max(1.0 - params.det_thresh, 1e-6)
+        af = params.alpha_fixed_emb
+        alpha = (af + (1.0 - af) * (1.0 - trust))[det_idx]
+        d_feat = dets.feature[det_idx]
+        new_emb = alpha[:, None] * state.emb + (1.0 - alpha)[:, None] * d_feat
+        new_emb = new_emb / jnp.maximum(
+            jnp.linalg.norm(new_emb, axis=-1, keepdims=True), 1e-12)
+        upd = matched & dets.has_feature[det_idx]
+        emb = jnp.where(upd[:, None], new_emb, state.emb)
+
     # --- misses: freeze at the first one (ORU anchor) -------------------------
     missed = active & ~matched
     freeze = missed & state.observed
@@ -522,7 +653,8 @@ def step(state: OCSortState, dets: OCSortDetections,
 
     def initiate_new(ops):
         (active, x, p, last_obs, obs_ring, obs_age, velocity, age, tsu,
-         hits, hit_streak, observed, frozen_valid, class_id, score) = ops
+         hits, hit_streak, observed, frozen_valid, class_id, score,
+         emb) = ops
         free = ~active
         n_free = jnp.sum(free)
         slot_rank = jnp.cumsum(free) - 1
@@ -560,24 +692,32 @@ def step(state: OCSortState, dets: OCSortDetections,
         track_id = scatter(state.track_id, new_ids)
         class_id = scatter(class_id, dets.class_id)
         score = scatter(score, dets.score)
+        if emb is not None:
+            # official KalmanBoxTracker.__init__ seeds the bank with the
+            # detection embedding; no feature -> zeros (neutral cosine)
+            emb = scatter(emb, jnp.where(dets.has_feature[:, None],
+                                         dets.feature,
+                                         jnp.zeros_like(dets.feature)))
         n_new = jnp.sum(can_place).astype(jnp.int32)
         return (active, x, p, last_obs, obs_ring, obs_age, velocity, age,
                 tsu, hits, hit_streak, observed, frozen_valid, track_id,
-                class_id, score, n_new, dropped)
+                class_id, score, emb, n_new, dropped)
 
     def no_new(ops):
         (active, x, p, last_obs, obs_ring, obs_age, velocity, age, tsu,
-         hits, hit_streak, observed, frozen_valid, class_id, score) = ops
+         hits, hit_streak, observed, frozen_valid, class_id, score,
+         emb) = ops
         return (active, x, p, last_obs, obs_ring, obs_age, velocity, age,
                 tsu, hits, hit_streak, observed, frozen_valid,
-                state.track_id, class_id, score, jnp.int32(0), jnp.int32(0))
+                state.track_id, class_id, score, emb,
+                jnp.int32(0), jnp.int32(0))
 
     (active, x, p, last_obs, obs_ring, obs_age, velocity, age, tsu, hits,
-     hit_streak, observed, frozen_valid, track_id, class_id, score, n_new,
-     dropped) = jax.lax.cond(
+     hit_streak, observed, frozen_valid, track_id, class_id, score, emb,
+     n_new, dropped) = jax.lax.cond(
         jnp.any(u_det), initiate_new, no_new,
         (active, x, p, last_obs, obs_ring, obs_age, velocity, age, tsu,
-         hits, hit_streak, observed, frozen_valid, class_id, score))
+         hits, hit_streak, observed, frozen_valid, class_id, score, emb))
 
     return state.replace(
         active=active, x=x, p=p,
@@ -588,6 +728,7 @@ def step(state: OCSortState, dets: OCSortDetections,
         track_id=track_id, class_id=class_id, score=score,
         frame_count=frame_count, next_id=state.next_id + n_new,
         dropped=state.dropped + dropped,
+        emb=emb,
     )
 
 

@@ -229,7 +229,8 @@ def main(argv=None):
     ap.add_argument("--max_frames", type=int, default=None)
     ap.add_argument("--iou", type=float, default=0.5)
     ap.add_argument("--tracker", default="deepsort",
-                    choices=("deepsort", "bytetrack", "ocsort"),
+                    choices=("deepsort", "strongsort", "bytetrack",
+                             "botsort", "ocsort", "deepocsort"),
                     help="tracker core to run (--run mode)")
     ap.add_argument("--gsi", action="store_true",
                     help="also score GSI-post-processed results "

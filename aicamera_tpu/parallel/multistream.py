@@ -136,16 +136,18 @@ class MultiStreamPipeline:
                     nsa=True,
                 )
         if self.tracker_kind not in ("deepsort", "bytetrack", "botsort",
-                                     "ocsort"):
+                                     "ocsort", "deepocsort"):
             raise ValueError(f"tracker must be 'deepsort', 'strongsort', "
-                             f"'bytetrack', 'botsort' or 'ocsort' "
-                             f"(got {tracker})")
+                             f"'bytetrack', 'botsort', 'ocsort' or "
+                             f"'deepocsort' (got {tracker})")
         if bytetrack_params is not None and self.tracker_kind not in (
                 "bytetrack", "botsort"):
             raise ValueError("bytetrack_params requires tracker='bytetrack' "
                              "or 'botsort'")
-        if ocsort_params is not None and self.tracker_kind != "ocsort":
-            raise ValueError("ocsort_params requires tracker='ocsort'")
+        if ocsort_params is not None and self.tracker_kind not in (
+                "ocsort", "deepocsort"):
+            raise ValueError("ocsort_params requires tracker='ocsort' "
+                             "or 'deepocsort'")
         self.bytetrack_params = None
         self.ocsort_params = None
         if self.tracker_kind == "bytetrack":
@@ -168,6 +170,18 @@ class MultiStreamPipeline:
             self.ocsort_params = ocsort_params or oc_core.OCSortParams(
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
+            if self.ocsort_params.with_appearance:
+                raise ValueError("with_appearance=True ocsort_params "
+                                 "require tracker='deepocsort'")
+        elif self.tracker_kind == "deepocsort":
+            self.ocsort_params = ocsort_params or oc_core.OCSortParams(
+                max_tracks=config.MAX_TRACKS,
+                max_detections=config.MAX_DETECTIONS,
+                with_appearance=True,
+                feature_dim=config.REID_FEATURE_DIM)
+            if not self.ocsort_params.with_appearance:
+                raise ValueError("tracker='deepocsort' requires "
+                                 "ocsort_params.with_appearance=True")
         # capacity-bucketed time scan (see runtime/pipeline.py): only on a
         # single device — with a mesh, the fits predicate would reduce over
         # sharded states (a hot-path collective), and zero hot-path
@@ -207,7 +221,7 @@ class MultiStreamPipeline:
             # pipelines discard (see runtime/pipeline.py)
             self._nms_score_floor = min(self._nms_score_floor,
                                         self.bytetrack_params.low_thresh)
-        elif self.tracker_kind == "ocsort":
+        elif self.tracker_kind in ("ocsort", "deepocsort"):
             # a sub-0.25 det_thresh must reach the core's own strict gate
             # (see runtime/pipeline.py)
             self._nms_score_floor = min(self._nms_score_floor,
@@ -243,7 +257,7 @@ class MultiStreamPipeline:
     def _init_one_state(self):
         if self.tracker_kind in ("bytetrack", "botsort"):
             return bt_core.init_state(self.bytetrack_params)
-        if self.tracker_kind == "ocsort":
+        if self.tracker_kind in ("ocsort", "deepocsort"):
             return oc_core.init_state(self.ocsort_params)
         return core_state.init_state(self.tracker_params)
 
@@ -253,14 +267,16 @@ class MultiStreamPipeline:
         p = self.tracker_params
         botsort = self.tracker_kind == "botsort"
         bytetrack = self.tracker_kind in ("bytetrack", "botsort")
-        ocsort = self.tracker_kind == "ocsort"
+        deepocsort = self.tracker_kind == "deepocsort"
+        ocsort = self.tracker_kind in ("ocsort", "deepocsort")
         if bytetrack:
             n_det = self.bytetrack_params.max_detections
         elif ocsort:
             n_det = self.ocsort_params.max_detections
         else:
             n_det = p.max_detections
-        with_reid = self.tracker_kind in ("deepsort", "botsort")
+        with_reid = self.tracker_kind in ("deepsort", "botsort",
+                                          "deepocsort")
         n_crops = self.max_reid_crops
         s = self.n_streams
         use_gmc = self.gmc_method is not None
@@ -377,6 +393,36 @@ class MultiStreamPipeline:
                     lambda st, _pp: bt_core.get_outputs(st))
 
             core_params = self.bytetrack_params
+        elif deepocsort:
+            # OC-SORT core + appearance (Deep OC-SORT): per-stream features
+            # ride the same (feats, crop_valid) args as the DeepSORT path
+            def make_track(pp):
+                def per_stream_track(state, d_xyxy, d_conf, d_cls, d_valid,
+                                     feats, crop_valid, *rest):
+                    f_gmc, frame_valid = _split_rest(rest)
+                    d_feats = jnp.zeros((n_det, pp.feature_dim),
+                                        jnp.float32)
+                    d_feats = d_feats.at[:n_crops].set(
+                        feats.astype(jnp.float32))
+                    d_hasfeat = jnp.zeros((n_det,), jnp.bool_).at[
+                        :n_crops].set(crop_valid & d_valid[:n_crops])
+                    dets = oc_core.OCSortDetections(
+                        xyxy=d_xyxy, score=d_conf, class_id=d_cls,
+                        valid=d_valid, feature=d_feats,
+                        has_feature=d_hasfeat)
+
+                    def do(st):
+                        return oc_core.step(st, dets, pp, f_gmc)
+
+                    if frame_valid is None:
+                        state = do(state)
+                    else:
+                        state = jax.lax.cond(frame_valid, do,
+                                             lambda st: st, state)
+                    return state, oc_core.get_outputs(state, pp)
+                return per_stream_track
+
+            core_params = self.ocsort_params
         elif ocsort:
             def _oc_dets(d_xyxy, d_conf, d_cls, d_valid):
                 return oc_core.OCSortDetections(

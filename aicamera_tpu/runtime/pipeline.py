@@ -196,8 +196,11 @@ class TrackingPipeline:
         — motion-only two-pass
         association), ``"botsort"`` (the same core with BoT-SORT's
         appearance fusion: the ReID embed stage runs and stages 1/3
-        associate on min(IoU, masked cosine)) or ``"ocsort"``
-        (:mod:`..core.ocsort` — observation-centric SORT); tracker-
+        associate on min(IoU, masked cosine)), ``"ocsort"``
+        (:mod:`..core.ocsort` — observation-centric SORT) or
+        ``"deepocsort"`` (the same core with Deep OC-SORT's adaptively
+        weighted appearance fusion + dynamic-alpha EMA banks,
+        ``OCSortParams(with_appearance=True)``); tracker-
         algorithm integration is the reference README's own "Future
         Enhancements" list. ByteTrack and OC-SORT disable the ReID
         crop/embed stage entirely (no appearance model). ByteTrack and
@@ -251,10 +254,10 @@ class TrackingPipeline:
                 )
                 nsa = False   # folded into tracker_params above
         if self.tracker_kind not in ("deepsort", "bytetrack", "botsort",
-                                     "ocsort"):
+                                     "ocsort", "deepocsort"):
             raise ValueError(f"tracker must be 'deepsort', 'strongsort', "
-                             f"'bytetrack', 'botsort' or 'ocsort' "
-                             f"(got {tracker})")
+                             f"'bytetrack', 'botsort', 'ocsort' or "
+                             f"'deepocsort' (got {tracker})")
         if nsa and self.tracker_kind != "deepsort":
             raise ValueError("nsa=True requires tracker='deepsort' (the "
                              "other cores take fixed-noise updates)")
@@ -265,8 +268,10 @@ class TrackingPipeline:
                 "bytetrack", "botsort"):
             raise ValueError("bytetrack_params requires tracker='bytetrack' "
                              "or 'botsort'")
-        if ocsort_params is not None and self.tracker_kind != "ocsort":
-            raise ValueError("ocsort_params requires tracker='ocsort'")
+        if ocsort_params is not None and self.tracker_kind not in (
+                "ocsort", "deepocsort"):
+            raise ValueError("ocsort_params requires tracker='ocsort' "
+                             "or 'deepocsort'")
         self.bytetrack_params = None
         self.ocsort_params = None
         if self.tracker_kind == "bytetrack":
@@ -292,7 +297,21 @@ class TrackingPipeline:
             self.ocsort_params = ocsort_params or oc_core.OCSortParams(
                 max_tracks=config.MAX_TRACKS,
                 max_detections=config.MAX_DETECTIONS)
+            if self.ocsort_params.with_appearance:
+                raise ValueError("with_appearance=True ocsort_params "
+                                 "require tracker='deepocsort'")
             with_reid = False
+        elif self.tracker_kind == "deepocsort":
+            self.ocsort_params = ocsort_params or oc_core.OCSortParams(
+                max_tracks=config.MAX_TRACKS,
+                max_detections=config.MAX_DETECTIONS,
+                with_appearance=True,
+                feature_dim=config.REID_FEATURE_DIM)
+            if not self.ocsort_params.with_appearance:
+                raise ValueError("tracker='deepocsort' requires "
+                                 "ocsort_params.with_appearance=True "
+                                 "(else it is plain OC-SORT)")
+            with_reid = True
         if gmc in (False, None, "off", "none", ""):
             self.gmc_method = None
         elif gmc in (True, "affine"):
@@ -341,9 +360,12 @@ class TrackingPipeline:
         # crops are gathered from the detection slots, so more crop
         # capacity than detection slots is unreachable (and would break
         # the bucketed gather's static reshape)
-        _det_cap = (self.bytetrack_params.max_detections
-                    if self.tracker_kind == "botsort"
-                    else self.tracker_params.max_detections)
+        if self.tracker_kind == "botsort":
+            _det_cap = self.bytetrack_params.max_detections
+        elif self.tracker_kind == "deepocsort":
+            _det_cap = self.ocsort_params.max_detections
+        else:
+            _det_cap = self.tracker_params.max_detections
         self.max_reid_crops = min(self.max_reid_crops, _det_cap)
         self._track_class_ids = jnp.asarray(
             config.CLASS_IDS_TO_TRACK, jnp.int32)
@@ -351,7 +373,7 @@ class TrackingPipeline:
         if self.tracker_kind in ("bytetrack", "botsort"):
             self._nms_score_floor = min(self._nms_score_floor,
                                         self.bytetrack_params.low_thresh)
-        elif self.tracker_kind == "ocsort":
+        elif self.tracker_kind in ("ocsort", "deepocsort"):
             # a custom det_thresh below the NMS default must still reach
             # the core's own strict gate — otherwise the fused pipeline
             # silently starves detections in (det_thresh, 0.25) that a
@@ -364,7 +386,7 @@ class TrackingPipeline:
     def _init_tracker_state(self):
         if self.tracker_kind in ("bytetrack", "botsort"):
             return bt_core.init_state(self.bytetrack_params)
-        if self.tracker_kind == "ocsort":
+        if self.tracker_kind in ("ocsort", "deepocsort"):
             return oc_core.init_state(self.ocsort_params)
         return core_state.init_state(self.tracker_params)
 
@@ -376,15 +398,20 @@ class TrackingPipeline:
         p = self.tracker_params
         botsort = self.tracker_kind == "botsort"
         bytetrack = self.tracker_kind in ("bytetrack", "botsort")
-        ocsort = self.tracker_kind == "ocsort"
+        deepocsort = self.tracker_kind == "deepocsort"
+        ocsort = self.tracker_kind in ("ocsort", "deepocsort")
         if bytetrack:
             n_det = self.bytetrack_params.max_detections
         elif ocsort:
             n_det = self.ocsort_params.max_detections
         else:
             n_det = p.max_detections
-        feature_dim = (self.bytetrack_params.feature_dim if botsort
-                       else p.feature_dim)
+        if botsort:
+            feature_dim = self.bytetrack_params.feature_dim
+        elif deepocsort:
+            feature_dim = self.ocsort_params.feature_dim
+        else:
+            feature_dim = p.feature_dim
         n_crops = self.max_reid_crops
         with_reid = self.with_reid
         use_gmc = self.gmc_method is not None
@@ -569,14 +596,25 @@ class TrackingPipeline:
                 return state, det_outs, track_outs
 
             if ocsort:
+                # deepocsort = the same core with appearance: the per-frame
+                # xs carry the ReID features from the shared embed stage
+                n_fixed_oc = 7 if deepocsort else 5
+
                 def make_scan_body_oc(pp):
                     def scan_body_oc(st, per_frame):
-                        (f_xyxy, f_conf, f_cls, f_valid,
-                         f_frame_valid) = per_frame[:5]
-                        f_gmc = tuple(per_frame[5:]) if use_gmc else None
+                        if deepocsort:
+                            (f_xyxy, f_conf, f_cls, f_feats, f_hasfeat,
+                             f_valid, f_frame_valid) = per_frame[:7]
+                        else:
+                            (f_xyxy, f_conf, f_cls, f_valid,
+                             f_frame_valid) = per_frame[:5]
+                            f_feats = f_hasfeat = None
+                        f_gmc = (tuple(per_frame[n_fixed_oc:])
+                                 if use_gmc else None)
                         dets = oc_core.OCSortDetections(
                             xyxy=f_xyxy, score=f_conf, class_id=f_cls,
-                            valid=f_valid)
+                            valid=f_valid, feature=f_feats,
+                            has_feature=f_hasfeat)
                         st = jax.lax.cond(
                             f_frame_valid,
                             lambda s: oc_core.step(s, dets, pp, gmc=f_gmc),
@@ -584,9 +622,14 @@ class TrackingPipeline:
                         return st, oc_core.get_outputs(st, pp)
                     return scan_body_oc
 
+                if deepocsort:
+                    xs_oc = (d_xyxy, d_conf, d_cls, d_feats, d_hasfeat,
+                             d_valid, frame_valid) + gmc_xs
+                else:
+                    xs_oc = (d_xyxy, d_conf, d_cls, d_valid,
+                             frame_valid) + gmc_xs
                 state, track_outs = _bucketed_time_scan(
-                    state,
-                    (d_xyxy, d_conf, d_cls, d_valid, frame_valid) + gmc_xs,
+                    state, xs_oc,
                     make_scan_body_oc, self.ocsort_params,
                     self.scan_bucket, k)
                 det_outs = (num, boxes_f, scores, labels, det_valid)
