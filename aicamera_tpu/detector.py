@@ -19,6 +19,8 @@ import numpy as np
 from . import config
 from .ops.nms import fused_decode_nms
 from .ops.preprocess import letterbox_spec, preprocess_yolo, scale_boxes_back
+from .ops.tiling import (extract_tiles, merge_detections, offset_boxes,
+                         tile_layout)
 from .runtime.engine import (SerializedEngine, XLAEngine,
                              enable_persistent_cache, export_engine,
                              is_engine_file)
@@ -130,6 +132,92 @@ class YOLODetector:
             name=f"yolov8_detect_{key[0]}x{key[1]}",
             warmup_iters=0)
         return self._steps[key]
+
+    def _get_tiled_step(self, frame_hw, grid, overlap, include_full):
+        key = (tuple(frame_hw), grid, overlap, include_full)
+        if key in self._steps:
+            return self._steps[key]
+        if self._serialized is not None:
+            raise ValueError(
+                "detect_tiled needs the model + params; this detector was "
+                "loaded from a serialized single-pass engine. Construct "
+                "from weights instead.")
+        origins, tile_hw = tile_layout(frame_hw, grid, overlap)
+        tile_spec = letterbox_spec(tile_hw, self.input_shape)
+        full_spec = letterbox_spec(tuple(frame_hw), self.input_shape)
+        nms_floor = min(config.YOLO_NMS_SCORE_THRESHOLD, self.conf_threshold)
+        t = len(origins)
+        max_det = config.YOLO_MAX_DETECTIONS
+
+        def step(params, frame_u8):
+            tiles = extract_tiles(frame_u8, origins, tile_hw)
+            x = jax.vmap(lambda f: preprocess_yolo(
+                f, tile_spec, out_dtype=self._dtype)[0])(tiles)
+            if include_full:
+                xf = preprocess_yolo(frame_u8, full_spec,
+                                     out_dtype=self._dtype)
+                x = jnp.concatenate([x, xf], axis=0)
+            # ONE batched forward for all tiles (+ full frame): a 3x3 4K
+            # grid is a batch-10 MXU dispatch, not 10 sequential passes.
+            levels = self.model.apply(params, x)
+            num, nboxes, nscores, nlabels = fused_decode_nms(
+                levels,
+                score_threshold=nms_floor,
+                iou_threshold=self.nms_threshold,
+                top_k=config.YOLO_NMS_TOPK,
+                max_det=max_det)
+            tb = jax.vmap(lambda b: scale_boxes_back(b, tile_spec))(
+                nboxes[:t])
+            tb = jnp.stack([offset_boxes(tb[i], y0, x0)
+                            for i, (y0, x0) in enumerate(origins)])
+            slot = jnp.arange(max_det)
+            parts = [(tb.reshape(-1, 4), nscores[:t].reshape(-1),
+                      nlabels[:t].reshape(-1),
+                      (slot[None, :] < num[:t, None]).reshape(-1))]
+            if include_full:
+                parts.append((scale_boxes_back(nboxes[t], full_spec),
+                              nscores[t], nlabels[t], slot < num[t]))
+            allb, alls, allc, allv = (jnp.concatenate(p)
+                                      for p in zip(*parts))
+            num_m, mb, ms, mc = merge_detections(
+                allb, alls, allc, allv, self.nms_threshold, max_det)
+            present = jnp.arange(mb.shape[0]) < num_m
+            return mb, ms, mc, present & (ms >= self.conf_threshold)
+
+        self._steps[key] = XLAEngine(
+            step,
+            example_inputs=[self.params,
+                            jax.ShapeDtypeStruct((*frame_hw, 3), jnp.uint8)],
+            name=(f"yolov8_detect_tiled_{frame_hw[0]}x{frame_hw[1]}"
+                  f"_{grid[0]}x{grid[1]}"),
+            warmup_iters=0)
+        return self._steps[key]
+
+    def detect_tiled(self, frame_bgr: np.ndarray,
+                     grid: Tuple[int, int] = (2, 2), overlap: float = 0.2,
+                     include_full_frame: bool = True):
+        """Sliced high-resolution detection (SAHI-style), same return
+        contract as :meth:`detect`.
+
+        Slices the frame into a static ``grid`` of tiles with fractional
+        ``overlap``, detects on all tiles (plus the full frame when
+        ``include_full_frame``, so large objects that span tiles are still
+        seen whole) in ONE batched forward, and merges everything with a
+        global on-device NMS (``ops/tiling.py``). Small objects that the
+        full-frame letterbox shrinks below detectability are seen by their
+        tile at near-native scale. The reference has no equivalent — it
+        always letterboxes the full frame (``yolo_detector.py:86-94``).
+        """
+        step = self._get_tiled_step(frame_bgr.shape[:2], tuple(grid),
+                                    float(overlap), bool(include_full_frame))
+        boxes, scores, labels, valid = step(self.params,
+                                            jnp.asarray(frame_bgr))
+        valid = np.asarray(valid)
+        idx = np.flatnonzero(valid)
+        return (np.asarray(boxes)[idx],
+                np.asarray(scores)[idx],
+                np.asarray(labels)[idx].astype(np.int32),
+                idx)
 
     def detect(self, frame_bgr: np.ndarray):
         """Detect objects in one BGR frame.

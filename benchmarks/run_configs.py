@@ -805,6 +805,110 @@ def config23_strongsort_trained(frames_n=288):
           note="same workload as configs 9/16/18/22; EMA+NSA+GMC preset")
 
 
+def config24_deepocsort_trained(frames_n=288):
+    """Deep OC-SORT (OC-SORT core + adaptively weighted appearance,
+    `OCSortParams(with_appearance=True)`) under the REALISTIC
+    trained-detector+embedder load — the config-9 scenario; directly
+    comparable with the DeepSORT (9), ByteTrack (16), OC-SORT (18),
+    BoT-SORT (22) and StrongSORT (23) rows on the same scenes and
+    ground truth. The delta vs config 18 prices the appearance fusion:
+    the ReID crop/embed stage joins the fused step and round-1
+    association adds the AW cosine term."""
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    ckpt = _synthetic_checkpoints("24_deepocsort_trained")
+    if ckpt is None:
+        return
+    arr, gt, _ = _trained_world_frames(frames_n)
+    pipe = TrackingPipeline(chunk_size=96, tracker="deepocsort",
+                            yolo_weights=ckpt[0], reid_weights=ckpt[1])
+    runs, n = _timed_run(pipe, arr)
+    mot, hota = _replay_quality(pipe, arr, gt)
+    _emit("24_deepocsort_trained", runs[1], frames=n,
+          method="median_of_3", mota=round(mot.mota, 3),
+          motp=round(mot.motp, 3), id_switches=mot.id_switches,
+          hota=round(hota.hota, 3),
+          note="same workload as configs 9/16/18/22/23; "
+               "OC-SORT + AW appearance; delta vs 18 = appearance cost")
+
+
+def config25_tiled_4k(frames_n=24):
+    """SAHI-style tiled detection at 4K (ops/tiling.py, detect_tiled):
+    a 3x3 grid (overlap 0.2) + the full frame = ONE batch-10 640x640
+    MXU forward per frame, merged by the on-device global NMS — vs the
+    plain full-frame 4K letterbox (which shrinks a person at 4K to a
+    ~10px blob). Also reports the quality rescue on a 1080p four-world
+    mosaic with the trained checkpoint: the full-frame letterbox sees
+    every object at HALF the training scale, the 2x2 tiles at native
+    scale (same scenario as tests/test_tiled.py, more frames)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aicamera_tpu.detector import YOLODetector
+    from aicamera_tpu.eval import evaluate_detections
+    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+
+    det = YOLODetector()
+    hw = (2160, 3840)
+    rng = np.random.RandomState(0)
+    staged = [jnp.asarray((rng.rand(*hw, 3) * 255).astype(np.uint8))
+              for _ in range(8)]   # distinct inputs: tunnel-honest timing
+    jax.block_until_ready(staged)
+    speed = {}
+    for name, step in (
+            ("tiled", det._get_tiled_step(hw, (3, 3), 0.2, True)),
+            ("single", det._get_step(hw))):
+        out = step(det.params, staged[0])
+        jax.block_until_ready(out)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(frames_n):
+                out = step(det.params, staged[i % len(staged)])
+            jax.block_until_ready(out)
+            runs.append(frames_n / (time.perf_counter() - t0))
+        speed[name] = sorted(runs)[1]
+
+    quality = {}
+    ckpt = _synthetic_checkpoints("25_tiled_4k")
+    if ckpt is not None:
+        spec = WorldSpec(max_objects=6, presence=1.0)
+        worlds = [TemporalWorld(spec, seed=50 + i, speed=3.0)
+                  for i in range(4)]
+        h, w = spec.hw
+        frames, gt = [], []
+        for _ in range(12):
+            tiles, boxes, cls = [], [], []
+            for q, world in enumerate(worlds):
+                f, b, ids, c, v = world.step()
+                tiles.append(np.asarray(f))
+                oy, ox = (q // 2) * h, (q % 2) * w
+                bb = np.asarray(b)[np.asarray(v)]
+                boxes.append(bb + np.array([ox, oy, ox, oy], np.float32))
+                cls.append(np.asarray(c)[np.asarray(v)])
+            frames.append(np.concatenate(
+                [np.concatenate(tiles[:2], 1),
+                 np.concatenate(tiles[2:], 1)], 0))
+            gt.append((np.concatenate(boxes), np.concatenate(cls)))
+        tdet = YOLODetector(engine_path=ckpt[0], conf_threshold=0.1)
+        single, tiled = [], []
+        for f in frames:
+            b, s, c, _ = tdet.detect(f)
+            single.append((b, s, c))
+            b, s, c, _ = tdet.detect_tiled(f, grid=(2, 2), overlap=0.0,
+                                           include_full_frame=False)
+            tiled.append((b, s, c))
+        quality = {
+            "mosaic_ap50_tiled": round(
+                evaluate_detections(gt, tiled).ap50, 3),
+            "mosaic_ap50_full_frame": round(
+                evaluate_detections(gt, single).ap50, 3)}
+    _emit("25_tiled_4k", speed["tiled"], frames=frames_n,
+          method="median_of_3", grid="3x3+full",
+          single_pass_fps=round(speed["single"], 1), **quality,
+          note="tiled = batch-10 640x640 per 4K frame; quality rows: "
+               "1080p mosaic, trained ckpt, 2x2 no-overlap vs full frame")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
@@ -816,7 +920,8 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            17: config17_ocsort_clip, 18: config18_ocsort_trained,
            19: config19_ema_gallery_trained, 20: config20_gmc_pan,
            21: config21_nsa_trained, 22: config22_botsort_trained,
-           23: config23_strongsort_trained}
+           23: config23_strongsort_trained,
+           24: config24_deepocsort_trained, 25: config25_tiled_4k}
 
 
 def main():
