@@ -101,6 +101,14 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                              "cameras; 'off' = reference static-camera "
                              "behavior. Default: off ('affine' when "
                              "--tracker strongsort).")
+    parser.add_argument("--reid_quant", type=str, default=None,
+                        choices=("none", "int8"),
+                        help="ReID embedder precision: 'int8' runs the "
+                             "W8A8 post-training-quantized embed stage "
+                             "(per-channel int8 weights, per-crop dynamic "
+                             "activation scales, int32 MXU accumulation) "
+                             "— the notch past the reference's --fp16 "
+                             "engines. Default: bf16.")
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")
@@ -215,6 +223,8 @@ def main(argv=None):
         letterbox_auto=args.auto_input,
         tracker=args.tracker,
         gmc=args.gmc,
+        reid_quant=(None if args.reid_quant in (None, "none")
+                    else args.reid_quant),
         **extra,
     )
     print("Compiling fused detect+track step (cached after first run)...")
@@ -259,6 +269,19 @@ def main(argv=None):
             frame_store[i] = f
             yield f
 
+    # headless native-IO fast path: drain the C++ decoder in whole chunks
+    # (one Python crossing per device dispatch); frames are only kept
+    # per-frame when something draws them
+    use_chunked = (args.native_io and hasattr(reader, "read_chunk")
+                   and writer is None and not show)
+
+    def native_chunks():
+        while True:
+            c = reader.read_chunk(chunk)
+            if len(c) == 0:
+                return
+            yield c
+
     from .runtime.profiler import StageTimer
     timer = StageTimer() if args.profile else None
 
@@ -268,12 +291,15 @@ def main(argv=None):
     t_compute = 0.0
     try:
         t0 = time.perf_counter()
-        for result in pipeline.process_frames(indexed_frames()):
+        result_iter = (pipeline.process_chunks(native_chunks())
+                       if use_chunked
+                       else pipeline.process_frames(indexed_frames()))
+        for result in result_iter:
             dt = time.perf_counter() - t0
             t_compute += dt
             if timer:
                 timer.add("detect+track", dt)
-            frame = frame_store.pop(result.frame_index)
+            frame = frame_store.pop(result.frame_index, None)
             n_frames += 1
             n_tracks_total += len(result.tracks)
 

@@ -133,8 +133,9 @@ class YOLODetector:
             warmup_iters=0)
         return self._steps[key]
 
-    def _get_tiled_step(self, frame_hw, grid, overlap, include_full):
-        key = (tuple(frame_hw), grid, overlap, include_full)
+    def _get_tiled_step(self, frame_hw, grid, overlap, include_full,
+                        merge_criterion="iou"):
+        key = (tuple(frame_hw), grid, overlap, include_full, merge_criterion)
         if key in self._steps:
             return self._steps[key]
         if self._serialized is not None:
@@ -180,7 +181,8 @@ class YOLODetector:
             allb, alls, allc, allv = (jnp.concatenate(p)
                                       for p in zip(*parts))
             num_m, mb, ms, mc = merge_detections(
-                allb, alls, allc, allv, self.nms_threshold, max_det)
+                allb, alls, allc, allv, self.nms_threshold, max_det,
+                frame_hw=tuple(frame_hw), criterion=merge_criterion)
             present = jnp.arange(mb.shape[0]) < num_m
             return mb, ms, mc, present & (ms >= self.conf_threshold)
 
@@ -189,13 +191,14 @@ class YOLODetector:
             example_inputs=[self.params,
                             jax.ShapeDtypeStruct((*frame_hw, 3), jnp.uint8)],
             name=(f"yolov8_detect_tiled_{frame_hw[0]}x{frame_hw[1]}"
-                  f"_{grid[0]}x{grid[1]}"),
+                  f"_{grid[0]}x{grid[1]}_{merge_criterion}"),
             warmup_iters=0)
         return self._steps[key]
 
     def detect_tiled(self, frame_bgr: np.ndarray,
                      grid: Tuple[int, int] = (2, 2), overlap: float = 0.2,
-                     include_full_frame: bool = True):
+                     include_full_frame: bool = True,
+                     merge_criterion: str = "iou"):
         """Sliced high-resolution detection (SAHI-style), same return
         contract as :meth:`detect`.
 
@@ -207,9 +210,15 @@ class YOLODetector:
         full-frame letterbox shrinks below detectability are seen by their
         tile at near-native scale. The reference has no equivalent — it
         always letterboxes the full frame (``yolo_detector.py:86-94``).
+
+        ``merge_criterion="ios"`` switches the merge NMS to
+        intersection-over-smaller-area (SAHI's choice), which collapses
+        tile-boundary fragments against the full-frame detection of the
+        same object; "iou" (default) matches the in-model NMS semantics.
         """
         step = self._get_tiled_step(frame_bgr.shape[:2], tuple(grid),
-                                    float(overlap), bool(include_full_frame))
+                                    float(overlap), bool(include_full_frame),
+                                    str(merge_criterion))
         boxes, scores, labels, valid = step(self.params,
                                             jnp.asarray(frame_bgr))
         valid = np.asarray(valid)

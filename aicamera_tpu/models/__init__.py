@@ -9,5 +9,7 @@ downloads (``scripts/download_models.sh``) via :mod:`onnx_import`.
 
 from .yolov8 import YOLOv8, YOLOV8_VARIANTS
 from .reid import ReIDNet
+from .quant import QuantReIDNet, quantize_reid_params
 
-__all__ = ["YOLOv8", "YOLOV8_VARIANTS", "ReIDNet"]
+__all__ = ["YOLOv8", "YOLOV8_VARIANTS", "ReIDNet", "QuantReIDNet",
+           "quantize_reid_params"]

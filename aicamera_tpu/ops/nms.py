@@ -68,15 +68,45 @@ def _greedy_keep(overlap: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return kept
 
 
+def _pairwise_ios_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(K, 4) xyxy -> (K, K) intersection-over-smaller-area.
+
+    IoS(a, b) = |a ∩ b| / min(|a|, |b|): a small fragment fully inside a
+    larger box scores ~1 regardless of the size ratio, which is why SAHI's
+    merge uses it — tile-boundary fragments have low IoU against the
+    full-frame detection of the same object but high IoS.
+    """
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    smaller = jnp.minimum(area[:, None], area[None, :])
+    return inter / jnp.maximum(smaller, 1e-7)
+
+
 def _suppress_and_emit(k_boxes, k_score, k_cls, k_valid, iou_threshold,
-                       top_k: int, max_det: int):
+                       top_k: int, max_det: int,
+                       class_offset: float = _CLASS_OFFSET,
+                       criterion: str = "iou"):
     """Shared NMS tail: class-shift, greedy suppression, top-max_det emit.
 
     Inputs are the score-ordered top-k candidates of one image; the output
     is the reference engine's ``(num, boxes, scores, labels)`` contract.
+    ``class_offset`` must exceed the largest box coordinate (callers in
+    frame space pass one scaled to the frame); ``criterion`` selects the
+    pairwise overlap measure ("iou" or "ios").
     """
-    shifted = k_boxes + (k_cls.astype(jnp.float32) * _CLASS_OFFSET)[:, None]
-    overlap = _pairwise_iou_xyxy(shifted) > iou_threshold  # (K, K)
+    if criterion == "iou":
+        pairwise = _pairwise_iou_xyxy
+    elif criterion == "ios":
+        pairwise = _pairwise_ios_xyxy
+    else:
+        raise ValueError(f"criterion must be 'iou' or 'ios', got {criterion!r}")
+    shifted = k_boxes + (k_cls.astype(jnp.float32) * class_offset)[:, None]
+    overlap = pairwise(shifted) > iou_threshold  # (K, K)
     kept = _greedy_keep(overlap, k_valid)
 
     # Emit the top max_det kept candidates (already score-ordered).

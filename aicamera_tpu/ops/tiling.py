@@ -30,7 +30,7 @@ from typing import List, Tuple
 import jax.numpy as jnp
 from jax import lax
 
-from .nms import _suppress_and_emit
+from .nms import _CLASS_OFFSET, _suppress_and_emit
 
 
 def tile_layout(frame_hw: Tuple[int, int], grid: Tuple[int, int],
@@ -89,7 +89,9 @@ def offset_boxes(boxes_xyxy: jnp.ndarray, y0: int, x0: int) -> jnp.ndarray:
 
 def merge_detections(boxes: jnp.ndarray, scores: jnp.ndarray,
                      cls: jnp.ndarray, valid: jnp.ndarray,
-                     iou_threshold: float, max_det: int):
+                     iou_threshold: float, max_det: int,
+                     frame_hw: Tuple[int, int] | None = None,
+                     criterion: str = "iou"):
     """Global class-aware NMS over concatenated per-tile detections.
 
     Args:
@@ -97,6 +99,18 @@ def merge_detections(boxes: jnp.ndarray, scores: jnp.ndarray,
         scores, cls, valid: ``(N,)`` score f32 / label i32 / validity bool.
         iou_threshold: suppression IoU (same semantics as the in-model NMS).
         max_det: output capacity.
+        frame_hw: frame size the boxes live in. The class-aware NMS trick
+            shifts boxes per class by an offset that must exceed every
+            coordinate; the default (8192, sized for letterbox space) is
+            too small for panoramic/stitched sources, so pass the frame
+            size whenever it is known and the offset scales with it.
+        criterion: "iou" (default — matches the in-model NMS semantics) or
+            "ios" (intersection-over-smaller-area, SAHI's merge choice):
+            a detection fragment clipped at a tile boundary often has
+            IoU < threshold against the full-frame detection of the same
+            object (both survive — seam duplicates), but its IoS is ~1,
+            so "ios" collapses such pairs. Most relevant with
+            ``overlap=0.0`` grids.
 
     Returns:
         ``(num, boxes (max_det, 4), scores (max_det,), labels (max_det,))``
@@ -106,8 +120,14 @@ def merge_detections(boxes: jnp.ndarray, scores: jnp.ndarray,
         highest-scoring candidate, exactly as sequential greedy NMS would.
     """
     n = boxes.shape[0]
+    class_offset = _CLASS_OFFSET
+    if frame_hw is not None:
+        # Any offset strictly above the largest coordinate keeps the class
+        # bands disjoint; 2x leaves headroom for un-clipped regressions.
+        class_offset = max(_CLASS_OFFSET, 2.0 * max(frame_hw))
     order = jnp.where(valid, scores, -1.0)
     k_score, k_idx = lax.top_k(order, n)  # full sort by score
     return _suppress_and_emit(
         boxes[k_idx], k_score, cls[k_idx], k_score > 0,
-        jnp.float32(iou_threshold), n, max_det)
+        jnp.float32(iou_threshold), n, max_det,
+        class_offset=class_offset, criterion=criterion)

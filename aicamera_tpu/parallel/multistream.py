@@ -90,7 +90,8 @@ class MultiStreamPipeline:
                  tracker: str = "deepsort",
                  bytetrack_params: "bt_core.ByteTrackParams | None" = None,
                  ocsort_params: "oc_core.OCSortParams | None" = None,
-                 gmc: str | bool = False):
+                 gmc: str | bool = False,
+                 reid_quant: str | None = None):
         self.n_streams = int(n_streams)
         self.frame_hw = tuple(frame_hw)
         self.mesh = mesh
@@ -208,6 +209,17 @@ class MultiStreamPipeline:
             variant, weights_path=yolo_weights)
         self.reid, self.reid_params = resolve_reid_params(
             weights_path=reid_weights)
+        if reid_quant not in (None, "", "none", "int8"):
+            raise ValueError(
+                f"reid_quant must be None or 'int8' (got {reid_quant!r})")
+        self.reid_quant = reid_quant if reid_quant == "int8" else None
+        if self.reid_quant == "int8":
+            # W8A8 embed stage (models/quant.py, same as TrackingPipeline's
+            # reid_quant); the quantized tree replicates over the mesh like
+            # the f32 one — it is still just a pytree of arrays
+            from ..models.quant import QuantReIDNet, quantize_reid_params
+            self.reid = QuantReIDNet(feature_dim=config.REID_FEATURE_DIM)
+            self.reid_params = quantize_reid_params(self.reid_params)
         self._dtype = self.yolo.dtype
         self.tracker_params = tracker_params or TrackerParams(
             max_tracks=config.MAX_TRACKS,

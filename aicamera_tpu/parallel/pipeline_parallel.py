@@ -30,8 +30,10 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.yolov8 import Backbone, DetectHead, Neck
+from .tensor_parallel import shard_detector_params
 
 __all__ = ["PipelineParallelDetector", "split_stage_params"]
 
@@ -70,12 +72,33 @@ class PipelineParallelDetector:
     def __init__(self, variant: str = "n",
                  devices: Optional[Sequence[Any]] = None,
                  num_classes: int = 80,
-                 dtype: jnp.dtype = jnp.bfloat16):
-        if devices is None:
-            devices = jax.devices()[:3]
-        if not devices:
-            raise ValueError("need at least one device")
-        self.devices = [devices[i % len(devices)] for i in range(3)]
+                 dtype: jnp.dtype = jnp.bfloat16,
+                 meshes: Optional[Sequence[Mesh]] = None):
+        if meshes is not None:
+            # Composed mode: each STAGE runs on its own 2-D
+            # ('stream', 'model') sub-mesh — data parallelism over the
+            # microbatch x tensor parallelism over conv output channels
+            # WITHIN every pipeline stage. All three parallelism axes in
+            # one forward: stage (pipeline) x stream (dp) x model (tp).
+            if devices is not None:
+                raise ValueError("pass either devices or meshes, not both")
+            meshes = list(meshes)
+            if not meshes:
+                raise ValueError("need at least one mesh")
+            for m in meshes:
+                if set(m.axis_names) != {"stream", "model"}:
+                    raise ValueError(
+                        "stage meshes must have axes ('stream', 'model'), "
+                        f"got {m.axis_names}")
+            self.meshes = [meshes[i % len(meshes)] for i in range(3)]
+            self.devices = [m.devices.flatten()[0] for m in self.meshes]
+        else:
+            self.meshes = None
+            if devices is None:
+                devices = jax.devices()[:3]
+            if not devices:
+                raise ValueError("need at least one device")
+            self.devices = [devices[i % len(devices)] for i in range(3)]
         self.variant = variant
         backbone = Backbone(variant, dtype=dtype)
         neck = Neck(variant, dtype=dtype)
@@ -92,10 +115,29 @@ class PipelineParallelDetector:
         self._stage_params = None
 
     def place_params(self, full_params) -> None:
-        """Commit each stage's params to its device (one-time upload)."""
+        """Commit each stage's params to its device/mesh (one-time upload).
+
+        In composed (meshes) mode each stage's conv kernels are channel-
+        sharded over that stage mesh's 'model' axis (tensor_parallel.py);
+        GSPMD partitions the stage program accordingly.
+        """
         trees = split_stage_params(full_params)
-        self._stage_params = tuple(
-            jax.device_put(t, d) for t, d in zip(trees, self.devices))
+        if self.meshes is not None:
+            self._stage_params = tuple(
+                shard_detector_params(t, m)
+                for t, m in zip(trees, self.meshes))
+        else:
+            self._stage_params = tuple(
+                jax.device_put(t, d) for t, d in zip(trees, self.devices))
+
+    def _to_stage(self, tree, k: int):
+        """Move activations to stage k: its device, or its mesh with the
+        batch axis sharded over 'stream' (activations re-shard across the
+        inter-stage hop — on a real TPU slice this is an ICI transfer)."""
+        if self.meshes is None:
+            return jax.device_put(tree, self.devices[k])
+        return jax.device_put(
+            tree, NamedSharding(self.meshes[k], P("stream")))
 
     def forward(self, frames, microbatch: Optional[int] = None):
         """Run the detector over ``frames`` (B, H, W, C float in [0, 1]).
@@ -115,11 +157,11 @@ class PipelineParallelDetector:
         f_back, f_neck, f_head = self._stage_fns
         outs = []
         for i in range(0, b, mb):
-            x = jax.device_put(frames[i:i + mb], self.devices[0])
+            x = self._to_stage(frames[i:i + mb], 0)
             feats = f_back(bp, x)
-            feats = jax.device_put(feats, self.devices[1])
+            feats = self._to_stage(feats, 1)
             feats = f_neck(np_, feats)
-            feats = jax.device_put(feats, self.devices[2])
+            feats = self._to_stage(feats, 2)
             outs.append(f_head(hp, feats))
             # async dispatch: the next microbatch's backbone enqueues
             # immediately; no block_until_ready inside the loop.

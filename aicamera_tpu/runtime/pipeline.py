@@ -155,7 +155,8 @@ class TrackingPipeline:
                  bytetrack_params: bt_core.ByteTrackParams | None = None,
                  ocsort_params: oc_core.OCSortParams | None = None,
                  gmc: str | bool = False,
-                 nsa: bool = False):
+                 nsa: bool = False,
+                 reid_quant: str | None = None):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
@@ -228,7 +229,17 @@ class TrackingPipeline:
         DeepSORT core — matched corrections scale measurement noise by
         ``(1 - confidence)`` (:func:`..core.kalman.project`). Ignored if
         an explicit ``tracker_params`` is passed (set its ``nsa`` field
-        instead); rejected for the motion-only cores."""
+        instead); rejected for the motion-only cores.
+
+        ``reid_quant``: ``"int8"`` runs the ReID embed stage through the
+        W8A8 post-training-quantized twin net (:mod:`..models.quant` —
+        per-channel int8 weights, per-crop dynamic int8 activations,
+        int32 MXU accumulation). The embed forward is the dominant
+        saturated-load cost (8x the detector's FLOPs, docs/ROOFLINE.md),
+        and the MXU runs int8 at twice the bf16 rate. The TPU-native
+        continuation of the reference's ``trtexec --fp16`` precision
+        story (export_trt_engines.sh:37). ``None`` (default) keeps the
+        bf16 path."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
         if self.tracker_kind == "strongsort":
@@ -345,6 +356,14 @@ class TrackingPipeline:
             variant, weights_path=yolo_weights)
         self.reid, self.reid_params = resolve_reid_params(
             weights_path=reid_weights)
+        if reid_quant not in (None, "", "none", "int8"):
+            raise ValueError(
+                f"reid_quant must be None or 'int8' (got {reid_quant!r})")
+        self.reid_quant = reid_quant if reid_quant == "int8" else None
+        if self.reid_quant == "int8":
+            from ..models.quant import QuantReIDNet, quantize_reid_params
+            self.reid = QuantReIDNet(feature_dim=config.REID_FEATURE_DIM)
+            self.reid_params = quantize_reid_params(self.reid_params)
         self._dtype = self.yolo.dtype
         self.tracker_params = tracker_params or TrackerParams(
             max_cosine_distance=config.DEEPSORT_MAX_DIST,
@@ -762,6 +781,38 @@ class TrackingPipeline:
         if pending is not None:
             yield from self._emit(pending[0], pending[1], pending[2],
                                   pending[3])
+
+    def process_chunks(self, chunks: Iterator[np.ndarray],
+                       chunk_size: int | None = None
+                       ) -> Iterator[FrameResult]:
+        """Chunk-granular streaming: like :meth:`process_frames` but each
+        item is already an ``(n, H, W, 3)`` uint8 array with ``n <= K``
+        (e.g. from ``NativeVideoReader.read_chunk`` — ONE Python crossing
+        per device dispatch instead of one per frame, and no per-frame
+        re-stacking). Partial chunks are padded to K (padding masked out
+        on device, same as :meth:`process_frames`); results are consumed
+        one chunk behind dispatch so decode, device work and readback
+        overlap."""
+        k = chunk_size or self.chunk_size
+        pending = None
+        base = 0
+        for chunk in chunks:
+            n = chunk.shape[0]
+            if n == 0:
+                break
+            if n > k:
+                raise ValueError(f"chunk of {n} frames exceeds the "
+                                 f"pipeline chunk_size {k}")
+            if n < k:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], k - n, axis=0)], axis=0)
+            outs = self._dispatch_chunk(chunk, n_valid=n)
+            prev, pending = pending, (*outs, base, n)
+            base += n
+            if prev is not None:
+                yield from self._emit(*prev)
+        if pending is not None:
+            yield from self._emit(*pending)
 
     def process_frame(self, frame_bgr: np.ndarray) -> FrameResult:
         """Single-frame convenience API (chunk of 1, synchronous readback).

@@ -39,11 +39,17 @@ class ReIDModel:
     def __init__(self,
                  engine_path: str | None = None,
                  input_shape: Tuple[int, int] = config.REID_INPUT_SHAPE,
-                 device=None):
+                 device=None,
+                 quant: str | None = None):
         enable_persistent_cache()
         self.input_shape = tuple(input_shape)
         self.device = device or jax.devices()[0]
         self._serialized: SerializedEngine | None = None
+        if quant not in (None, "", "none", "int8"):
+            raise ValueError(f"quant must be None or 'int8' (got {quant!r})")
+        if quant == "int8" and is_engine_file(engine_path):
+            raise ValueError("quant='int8' needs weights, not a serialized "
+                             ".xlae engine (quantization happens at load)")
         if is_engine_file(engine_path):
             # Self-contained .xlae artifact: weights baked in; a symbolic
             # batch axis gives the dynamic batch 1..N of the reference's
@@ -59,6 +65,13 @@ class ReIDModel:
         else:
             self.model, self.params = resolve_reid_params(engine_path)
             self.feature_dim = config.REID_FEATURE_DIM
+            if quant == "int8":
+                # W8A8 post-training quantization (models/quant.py): the
+                # TPU-native notch past the reference's --fp16 engines.
+                from .models.quant import QuantReIDNet, quantize_reid_params
+                self.model = QuantReIDNet(
+                    feature_dim=config.REID_FEATURE_DIM)
+                self.params = quantize_reid_params(self.params)
             self._apply = jax.jit(self.model.apply)
 
     def _preprocess(self, crop_bgr: np.ndarray) -> np.ndarray:
@@ -162,7 +175,8 @@ class DeepSORT:
                  gallery_strategy: str = "fifo",
                  ema_alpha: float = 0.9,
                  gmc: str | bool = False,
-                 nsa: bool = False):
+                 nsa: bool = False,
+                 reid_quant: str | None = None):
         """Deviation from the reference: ``nn_budget=None`` means an
         unlimited feature gallery there (tracker_core.py:20), but the
         fixed-shape device state needs a static ring size, so ``None`` is
@@ -235,7 +249,8 @@ class DeepSORT:
         self.max_reid_crops = int(max_reid_crops)
         self._capture = bool(capture_features)
         self.reid_model = ReIDModel(engine_path=reid_model_path,
-                                    input_shape=reid_input_shape)
+                                    input_shape=reid_input_shape,
+                                    quant=reid_quant)
         self.state = core_state.init_state(self.params)
         self.frame_count = 0
         self._steps = {}

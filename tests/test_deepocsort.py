@@ -227,3 +227,40 @@ def test_facade_surface_and_lifecycle():
     assert all(t[4] == 1 for t in out4)
     tr.reset()
     assert tr.frame_count == 0
+
+
+def test_deepocsort_multistream_sharded_matches_single():
+    """Deep OC-SORT as a vmapped multi-stream tracker step: the stream-
+    sharded run (EMA bank + AW matrices under vmap + shard_map) must match
+    the unsharded single-device run bitwise, identical frames on both
+    streams must yield identical per-stream outputs, and the crop/embed
+    stage must be active (with_appearance)."""
+    from aicamera_tpu.parallel import MultiStreamPipeline, make_stream_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ virtual devices")
+    op = OCSortParams(det_thresh=0.25, min_hits=1, max_tracks=16,
+                      max_detections=8, with_appearance=True,
+                      feature_dim=512)
+    base = dict(n_streams=2, frame_hw=(96, 128), input_shape=(128, 128),
+                tracker="deepocsort", ocsort_params=op)
+    rng = np.random.RandomState(7)
+    one = rng.randint(0, 256, (2, 96, 128, 3), np.uint8)  # (K, H, W, 3)
+    frames = np.stack([one, one])                         # both streams equal
+
+    sharded = MultiStreamPipeline(mesh=make_stream_mesh(2), **base)
+    outs = jax.device_get(sharded.step_chunk(frames))
+
+    single = MultiStreamPipeline(**base)
+    outs1 = jax.device_get(single.step_chunk(frames))
+
+    for a, b in zip(outs, outs1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(jax.device_get(sharded.states)),
+                    jax.tree.leaves(jax.device_get(single.states))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # identical frames -> identical independent per-stream results
+    for a in outs:
+        np.testing.assert_array_equal(np.asarray(a)[0], np.asarray(a)[1])
+    # the appearance state (EMA bank) exists in the multistream state tree
+    assert sharded.states.emb is not None

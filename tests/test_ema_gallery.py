@@ -143,7 +143,7 @@ def test_ema_sliced_core_equals_full_core(seed):
     run exactly (the blended gallery write lands in sliced rows)."""
     import dataclasses
     from aicamera_tpu.core.state import slice_tracks
-    from test_scan_bucket import P_FULL, T_SMALL, _step, _tree_equal
+    from test_scan_bucket_impl import P_FULL, T_SMALL, _step, _tree_equal
     from test_tracker_differential import random_frames
     p_full = dataclasses.replace(P_FULL, nn_budget=1, ema_alpha=ALPHA)
     p_small = dataclasses.replace(p_full, max_tracks=T_SMALL)

@@ -111,3 +111,55 @@ def test_validation_errors(setup):
         pp.forward(jnp.asarray(x), microbatch=3)
     with pytest.raises(ValueError, match="at least one device"):
         PipelineParallelDetector("n", devices=[])
+
+
+def test_composed_stage_meshes_match_single_device(setup):
+    """All three parallelism axes in one forward — stage (pipeline) x
+    stream (dp) x model (tp): each stage on its own 2-D
+    ('stream','model') sub-mesh with channel-sharded params must match
+    the degenerate single-device stage split to bf16 tolerance. (Not
+    bitwise: when a conv's INPUT activations arrive channel-sharded,
+    GSPMD splits the input-channel reduction into per-device partial
+    sums + an all-reduce — a different accumulation order. Measured
+    max-abs diff ~2e-6 on ~1e-4-scale bf16 outputs.)"""
+    from jax.sharding import Mesh
+
+    model, params, x = setup
+    devs = np.array(jax.devices())
+    if devs.size < 8:
+        pytest.skip("needs 8 virtual devices")
+    meshes = [Mesh(devs[k * 4:(k + 1) * 4].reshape(2, 2)
+                   if k < 2 else devs[:4].reshape(2, 2),
+                   ("stream", "model")) for k in range(3)]
+    composed = PipelineParallelDetector("n", meshes=meshes)
+    composed.place_params(params)
+    single = PipelineParallelDetector("n", devices=jax.devices()[:1])
+    single.place_params(params)
+    a = composed.forward(jnp.asarray(x), microbatch=2)
+    b = single.forward(jnp.asarray(x), microbatch=2)
+    for (a_box, a_cls), (b_box, b_cls) in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(a_box, np.float32), np.asarray(b_box, np.float32),
+            atol=1e-3, rtol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(a_cls, np.float32), np.asarray(b_cls, np.float32),
+            atol=1e-3, rtol=2e-2)
+    # the tp axis is real: conv kernels are sharded over 'model'
+    kernels = [p for p in jax.tree.leaves(composed._stage_params[0])
+               if p.ndim == 4]
+    assert any("model" in str(k.sharding.spec) for k in kernels)
+
+
+def test_composed_mesh_validation(setup):
+    from jax.sharding import Mesh
+    model, params, x = setup
+    devs = np.array(jax.devices())
+    good = Mesh(devs[:4].reshape(2, 2), ("stream", "model"))
+    bad = Mesh(devs[:2], ("x",))
+    with pytest.raises(ValueError, match="stream"):
+        PipelineParallelDetector("n", meshes=[bad])
+    with pytest.raises(ValueError, match="not both"):
+        PipelineParallelDetector("n", meshes=[good],
+                                 devices=jax.devices()[:1])
+    with pytest.raises(ValueError, match="at least one mesh"):
+        PipelineParallelDetector("n", meshes=[])

@@ -181,3 +181,48 @@ def test_tiled_beats_full_frame_on_small_objects():
     # training scale. Demand a decisive margin, not a statistical one.
     assert ap_tiled > ap_single + 0.15, (ap_tiled, ap_single)
     assert ap_tiled > 0.5, ap_tiled
+
+
+def test_merge_ios_collapses_seam_fragment_iou_keeps_it():
+    """A small fragment clipped at a tile boundary, fully inside the
+    full-frame detection of the same object: IoU = 20/100 < 0.5 (both
+    survive — the seam-duplicate failure mode), IoS = 1.0 (fragment
+    collapses under criterion='ios')."""
+    boxes = np.array([[100, 100, 200, 200],      # full object
+                      [100, 100, 120, 200]], np.float32)  # seam fragment
+    scores = np.array([0.9, 0.6], np.float32)
+    cls = np.zeros(2, np.int32)
+    valid = np.ones(2, bool)
+    num_iou, *_ = merge_detections(boxes, scores, cls, valid, 0.5, 8,
+                                   criterion="iou")
+    assert int(num_iou) == 2  # documented IoU behavior: duplicate survives
+    num_ios, mb, ms, mc = merge_detections(boxes, scores, cls, valid, 0.5,
+                                           8, criterion="ios")
+    assert int(num_ios) == 1
+    assert float(ms[0]) == pytest.approx(0.9)
+    with pytest.raises(ValueError, match="criterion"):
+        merge_detections(boxes, scores, cls, valid, 0.5, 8,
+                         criterion="diou")
+
+
+def test_merge_class_offset_scales_with_frame_size():
+    """In frame coordinates a panoramic source can exceed the 8192-px
+    class-NMS shift: a class-0 box at x~8200 and a class-1 box at x~10
+    land on top of each other after the class-1 shift and cross-suppress.
+    Passing frame_hw scales the offset past the frame, keeping the class
+    bands disjoint."""
+    # class-0 box far down-right; class-1 box near the origin whose
+    # +8192 shift (applied to all four coords) lands exactly on it
+    boxes = np.array([[8202, 8202, 8292, 8292],
+                      [10, 10, 100, 100]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    cls = np.array([0, 1], np.int32)
+    valid = np.ones(2, bool)
+    # without frame_hw: class-1 shift (+8192) lands exactly on the class-0
+    # box -> spurious cross-class suppression (documents the old bug)
+    num_old, *_ = merge_detections(boxes, scores, cls, valid, 0.5, 8)
+    assert int(num_old) == 1
+    # with the frame size known, both survive
+    num, mb, ms, mc = merge_detections(boxes, scores, cls, valid, 0.5, 8,
+                                       frame_hw=(9000, 20000))
+    assert int(num) == 2
