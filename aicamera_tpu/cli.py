@@ -109,6 +109,13 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                              "activation scales, int32 MXU accumulation) "
                              "— the notch past the reference's --fp16 "
                              "engines. Default: bf16.")
+    parser.add_argument("--yolo_quant", type=str, default=None,
+                        choices=("none", "int8"),
+                        help="Detector precision: 'int8' runs the static-"
+                             "calibrated W8A8 detector twin (activations "
+                             "stored int8 between conv fusions — the "
+                             "forward is HBM-bound). Calibrates once at "
+                             "startup on synthetic scenes. Default: bf16.")
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")
@@ -225,6 +232,8 @@ def main(argv=None):
         gmc=args.gmc,
         reid_quant=(None if args.reid_quant in (None, "none")
                     else args.reid_quant),
+        yolo_quant=(None if args.yolo_quant in (None, "none")
+                    else args.yolo_quant),
         **extra,
     )
     print("Compiling fused detect+track step (cached after first run)...")

@@ -36,8 +36,14 @@ class YOLODetector:
                  conf_threshold: float = config.YOLO_CONF_THRESHOLD,
                  nms_threshold: float = config.YOLO_NMS_THRESHOLD,
                  variant: str = "n",
-                 device=None):
+                 device=None,
+                 quant: str | None = None):
         enable_persistent_cache()
+        if quant not in (None, "", "none", "int8"):
+            raise ValueError(f"quant must be None or 'int8' (got {quant!r})")
+        if quant == "int8" and is_engine_file(engine_path):
+            raise ValueError("quant='int8' needs weights, not a serialized "
+                             ".xlae engine (calibration happens at load)")
         self.input_shape = tuple(input_shape)
         self.conf_threshold = float(conf_threshold)
         self.nms_threshold = float(nms_threshold)
@@ -77,9 +83,17 @@ class YOLODetector:
             return
         self.model, self.params = resolve_yolo_params(
             variant, weights_path=engine_path)
+        if quant == "int8":
+            # static-calibrated W8A8 twin (models/quant_yolo.py), same
+            # deterministic synthetic calibration as the pipeline's
+            from .models.quant_yolo import quantize_yolo_synthetic
+            self.model, self.params = quantize_yolo_synthetic(
+                self.params, self.model.variant, self.model.num_classes,
+                self.input_shape)
         self._dtype = self.model.dtype
         self.params = jax.device_put(self.params, self.device)
-        print(f"YOLODetector initialized (YOLOv8{variant}, XLA on "
+        print(f"YOLODetector initialized (YOLOv8{variant}"
+              f"{', int8' if quant == 'int8' else ''}, XLA on "
               f"{self.device.platform}). Input shape: {self.input_shape}")
 
     def _get_step(self, frame_hw):

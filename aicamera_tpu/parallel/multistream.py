@@ -289,6 +289,11 @@ class MultiStreamPipeline:
             n_det = p.max_detections
         with_reid = self.tracker_kind in ("deepsort", "botsort",
                                           "deepocsort")
+        # crops are gathered from the detection slots, so more crop
+        # capacity than detection slots is unreachable (and would break
+        # the bucketed gather's static reshape) — same clamp as
+        # TrackingPipeline
+        self.max_reid_crops = min(self.max_reid_crops, n_det)
         n_crops = self.max_reid_crops
         s = self.n_streams
         use_gmc = self.gmc_method is not None

@@ -156,7 +156,8 @@ class TrackingPipeline:
                  ocsort_params: oc_core.OCSortParams | None = None,
                  gmc: str | bool = False,
                  nsa: bool = False,
-                 reid_quant: str | None = None):
+                 reid_quant: str | None = None,
+                 yolo_quant: str | None = None):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
@@ -239,7 +240,16 @@ class TrackingPipeline:
         and the MXU runs int8 at twice the bf16 rate. The TPU-native
         continuation of the reference's ``trtexec --fp16`` precision
         story (export_trt_engines.sh:37). ``None`` (default) keeps the
-        bf16 path."""
+        bf16 path.
+
+        ``yolo_quant``: ``"int8"`` runs the detector through the
+        STATIC-calibrated W8A8 twin (:mod:`..models.quant_yolo`):
+        activations are stored int8 between conv fusions (the forward is
+        HBM-bound — docs/ROOFLINE.md), weights fold the calibration
+        scales per input channel. Calibration happens once at
+        construction over deterministic synthetic scenes; detections
+        differ slightly from bf16 (quantization noise), so this is
+        opt-in — quality gates live in benchmark config 28."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
         if self.tracker_kind == "strongsort":
@@ -364,6 +374,12 @@ class TrackingPipeline:
             from ..models.quant import QuantReIDNet, quantize_reid_params
             self.reid = QuantReIDNet(feature_dim=config.REID_FEATURE_DIM)
             self.reid_params = quantize_reid_params(self.reid_params)
+        if yolo_quant not in (None, "", "none", "int8"):
+            raise ValueError(
+                f"yolo_quant must be None or 'int8' (got {yolo_quant!r})")
+        self.yolo_quant = yolo_quant if yolo_quant == "int8" else None
+        if self.yolo_quant == "int8":
+            self._quantize_yolo()
         self._dtype = self.yolo.dtype
         self.tracker_params = tracker_params or TrackerParams(
             max_cosine_distance=config.DEEPSORT_MAX_DIST,
@@ -401,6 +417,15 @@ class TrackingPipeline:
                                         self.ocsort_params.det_thresh)
         self.state = self._init_tracker_state()
         self._steps = {}
+
+    def _quantize_yolo(self):
+        """Calibrate + build the static-int8 detector twin (quant_yolo.py,
+        deterministic synthetic calibration — see
+        :func:`..models.quant_yolo.quantize_yolo_synthetic`)."""
+        from ..models.quant_yolo import quantize_yolo_synthetic
+        self.yolo, self.yolo_params = quantize_yolo_synthetic(
+            self.yolo_params, self.yolo.variant, self.yolo.num_classes,
+            self.input_shape, letterbox_auto=self.letterbox_auto)
 
     def _init_tracker_state(self):
         if self.tracker_kind in ("bytetrack", "botsort"):

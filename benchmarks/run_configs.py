@@ -27,6 +27,7 @@
  25. Tiled (SAHI-style) 4K detection: FPS + mosaic AP rescue vs full-frame
  26. Multi-tenant serving: mixed-rate tenants + closed-loop saturation
  27. Int8 (W8A8) ReID A/B: raw crops/s, worst-case FPS, quality gates
+ 28. Int8 static-calibrated detector A/B: raw fwd, clip FPS, AP50 gate
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all [--out results.jsonl]
@@ -1205,6 +1206,73 @@ def config27_int8_reid(frames_n=288):
                "MOTA/HOTA within noise of bf16")
 
 
+def config28_int8_yolo(frames_n=500):
+    """Int8 (W8A8, static-calibrated) DETECTOR A/B (models/quant_yolo.py).
+    The forward is HBM-bound (docs/ROOFLINE.md: ~113 MB activations/frame
+    at bf16 vs a ~13.2 ms/chunk bandwidth floor); storing activations
+    int8 halves the bytes and doubles the MXU MAC rate. Rows: raw
+    batch-96 forward FPS (config-11 methodology), full clip headline
+    FPS (config-3 workload), and trained-checkpoint detection quality
+    (AP50 int8 vs bf16 on identical synthetic frames — the gate)."""
+    import jax
+    import jax.numpy as jnp
+    from scripts.axon_timing import measure
+    from aicamera_tpu.models.quant_yolo import QuantYOLOv8
+    from aicamera_tpu.runtime.params import resolve_yolo_params
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+
+    # --- raw forward, bf16 vs int8 ---------------------------------------
+    model, params = resolve_yolo_params("n")
+    pipe_q = TrackingPipeline(chunk_size=96, yolo_quant="int8")
+    qmodel, qparams = pipe_q.yolo, pipe_q.yolo_params
+    fps = {}
+    for name, net, p, dt in (("bf16", model, params, jnp.bfloat16),
+                             ("int8", qmodel, qparams, jnp.float32)):
+        @jax.jit
+        def gen_fwd(p, seed, _net=net, _dt=dt):
+            x = jax.random.uniform(jax.random.PRNGKey(seed),
+                                   (96, 640, 640, 3), _dt)
+            return _net.apply(p, x)
+
+        runs = []
+        for r in range(3):
+            inputs = [(p, jnp.int32(3000 * r + i)) for i in range(24)]
+            runs.append(96 / measure(gen_fwd, inputs, warmup=2))
+        fps[name] = sorted(runs)[1]
+
+    # --- full-pipeline clip headline, bf16 vs int8 -----------------------
+    arr = _load_clip(frames_n)
+    clip = {}
+    for name, quant in (("bf16", None), ("int8", "int8")):
+        pipe = TrackingPipeline(chunk_size=96, yolo_quant=quant)
+        runs, _ = _timed_run(pipe, arr)
+        clip[name] = runs[1]
+
+    # --- trained-checkpoint quality gate ---------------------------------
+    quality = {}
+    ckpt = _synthetic_checkpoints("28_int8_yolo")
+    if ckpt is not None:
+        from aicamera_tpu.eval import evaluate_detections
+        arr9, _, gt_det = _trained_world_frames(96)
+        for name, quant in (("bf16", None), ("int8", "int8")):
+            pipe = TrackingPipeline(chunk_size=96, yolo_weights=ckpt[0],
+                                    reid_weights=ckpt[1], yolo_quant=quant,
+                                    conf_threshold=0.25)
+            preds = [(r.det_boxes, r.det_scores, r.det_labels)
+                     for r in pipe.process_frames(iter(list(arr9[:96])))]
+            ap = evaluate_detections(gt_det[:96], preds)
+            quality[f"ap50_{name}"] = round(ap.ap50, 3)
+            quality[f"map_{name}"] = round(ap.map_5095, 3)
+
+    _emit("28_int8_yolo", round(clip["int8"], 1),
+          clip_fps_bf16=round(clip["bf16"], 1),
+          raw_fwd_fps_int8=round(fps["int8"], 1),
+          raw_fwd_fps_bf16=round(fps["bf16"], 1), **quality,
+          method="median_of_3, paired inputs",
+          note="static-calibrated W8A8 detector; gate: AP50 within 1 pt "
+               "of bf16 on the trained synthetic workload")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
@@ -1218,7 +1286,8 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            21: config21_nsa_trained, 22: config22_botsort_trained,
            23: config23_strongsort_trained,
            24: config24_deepocsort_trained, 25: config25_tiled_4k,
-           26: config26_serving, 27: config27_int8_reid}
+           26: config26_serving, 27: config27_int8_reid,
+           28: config28_int8_yolo}
 
 
 def main():
