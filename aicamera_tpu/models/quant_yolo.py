@@ -209,9 +209,15 @@ class _RunCtx:
         if act:
             y = jax.nn.silu(y)
         if residual is not None:
-            rs = residual.parts[0][0]
-            y = y + residual.data.astype(jnp.float32) * \
-                (self.scales[rs] / 127.0)
+            # dequant per provenance span (a concat carries one scale
+            # per source tensor)
+            r = residual.data.astype(jnp.float32)
+            segs, off = [], 0
+            for rk, c in residual.parts:
+                segs.append(r[..., off:off + c] * (self.scales[rk] / 127.0))
+                off += c
+            y = y + (segs[0] if len(segs) == 1
+                     else jnp.concatenate(segs, axis=-1))
         if not quantize_out:
             return _T(y, [(kk, y.shape[-1])])
         out = jnp.clip(jnp.round(y * (127.0 / self.scales[kk])),
