@@ -205,6 +205,7 @@ class MultiTenantTrackingService:
         self.chunk_size = int(chunk_size)
         self.default_sla = max_latency_ms / 1e3
         self._slots = [_StreamSlot() for _ in range(self.n_streams)]
+        self._outstanding = 0  # submitted frames not yet resolved
         self._cond = threading.Condition()
         self._running = True
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -249,8 +250,29 @@ class MultiTenantTrackingService:
             if slot.state != _ACTIVE:
                 raise RuntimeError(f"stream {stream_id} is not open")
             slot.pending.append((fut, frame, time.perf_counter()))
+            self._outstanding += 1
             self._cond.notify()
         return fut
+
+    def wait_idle(self, timeout: float = 300.0) -> None:
+        """Block until every slot is FREE and every submitted frame has
+        resolved — e.g. between a drain (`close_stream`) and re-leasing
+        slots for a new tenant generation."""
+        deadline = time.perf_counter() + timeout
+        with self._cond:
+            while (self._outstanding or
+                   any(s.state != _FREE or s.pending
+                       for s in self._slots)):
+                if time.perf_counter() >= deadline:
+                    raise TimeoutError(
+                        f"service did not drain within {timeout}s "
+                        f"({self._outstanding} outstanding)")
+                self._cond.wait(timeout=0.1)
+
+    def _finished(self, n: int) -> None:
+        with self._cond:
+            self._outstanding -= n
+            self._cond.notify_all()
 
     def close_stream(self, stream_id: int):
         """Stop accepting frames for the stream; queued frames still
@@ -328,6 +350,8 @@ class MultiTenantTrackingService:
             for _, _, fut, _ in jobs:
                 if not fut.done():
                     fut.set_exception(e)
+        finally:
+            self._finished(len(jobs))
 
     def _run(self):
         inflight = None
@@ -355,6 +379,7 @@ class MultiTenantTrackingService:
                 except Exception as e:  # pragma: no cover - device failure
                     for _, _, fut, _ in jobs:
                         fut.set_exception(e)
+                    self._finished(len(jobs))
                     continue
                 prev, inflight = inflight, (outs, jobs)
                 if prev is not None:
@@ -370,3 +395,5 @@ class MultiTenantTrackingService:
                 while slot.pending:
                     fut, _, _ = slot.pending.popleft()
                     fut.set_exception(RuntimeError("service shut down"))
+                    self._outstanding -= 1
+            self._cond.notify_all()

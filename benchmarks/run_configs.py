@@ -347,6 +347,35 @@ def config6_streaming_e2e(chunk=32):
         _emit("6b_streaming_native_io", n2 / dt2, frames=n2, chunk=chunk,
               note="native C++ decode thread, chunk-granular drains")
 
+        # (d) same native path at the throughput chunk (96 — what configs
+        # 2/3 dispatch): fewer, larger host->device transfers. On the
+        # tunneled runtime the per-RPC cost dominates streaming, so chunk
+        # size is the one free lever; latency rises to ~chunk/fps.
+        pipe96 = TrackingPipeline(chunk_size=96)
+        nreader = NativeVideoReader(str(CLIP))
+
+        def chunks96():
+            while True:
+                c = nreader.read_chunk(96)
+                if len(c) == 0:
+                    return
+                yield c
+
+        first96 = next(chunks96())
+        pipe96.warm_up(first96.shape[1:3])
+        nreader.release()
+        nreader = NativeVideoReader(str(CLIP))
+        n3 = 0
+        t0 = time.perf_counter()
+        for result in pipe96.process_chunks(chunks96()):
+            _ = result.tracks
+            n3 += 1
+        dt3 = time.perf_counter() - t0
+        nreader.release()
+        _emit("6d_streaming_native_chunk96", n3 / dt3, frames=n3, chunk=96,
+              note="native decode + chunk-96 dispatch (throughput mode; "
+                   "adds ~chunk/fps of latency)")
+
     # (c) per-stage decomposition of the streaming path: decode-only,
     # upload-only, compute-only (pre-staged frames through the same fused
     # step), so the gap between 6/6b and config 3 is attributable.
@@ -1036,50 +1065,98 @@ def config25_tiled_4k(frames_n=24):
                "1080p mosaic, trained ckpt, 2x2 no-overlap vs full frame")
 
 
-def config26_serving(duration_s=15.0):
-    """Multi-tenant serving under concurrent clients: 4 tenant streams at
-    mixed frame rates (60/30/30/15 fps) lease slots on one
-    MultiTenantTrackingService (serving.py) — one fused device program
-    batches all tenants per dispatch, per-stream SLA windows decide when
-    a partial batch fires. Records aggregate requests/s, per-request
-    latency p50/p99, and SLA adherence; then a closed-loop saturation
-    pass (clients re-submit on resolve, window 8) for peak service
-    throughput."""
+def config26_serving(duration_s=12.0):
+    """Multi-tenant serving under concurrent clients
+    (serving.py::MultiTenantTrackingService — one fused device program
+    batches all tenants per dispatch; per-stream SLA windows decide when
+    a partial batch fires). Two phases:
+
+    1. SATURATION: 4 closed-loop clients (re-submit on resolve, window
+       8) measure the service's peak request throughput on this host.
+    2. PACED: 4 tenants at mixed rates summing to ~60% of the measured
+       saturation (weighted 4:2:2:1) submit with per-request futures for
+       ``duration_s``; reports latency p50/p99 and SLA adherence. A
+       paced load above capacity would only measure queue growth.
+
+    On the tunneled dev runtime the dispatch+readback RTT (config 8:
+    wall ~70 ms vs ~3 ms compute) bounds both phases; the note carries
+    the PCIe projection."""
     import threading
     from aicamera_tpu.serving import MultiTenantTrackingService
 
     frames = _load_clip(32)
     hw = frames.shape[1:3]
-    sla_ms = 100.0
+    sla_ms = 250.0
     svc = MultiTenantTrackingService(n_streams=4, frame_hw=hw,
                                      chunk_size=4, max_latency_ms=sla_ms)
+    errors: list = []
     try:
         # warm the fused step (compile happens on the first dispatch)
         sid = svc.open_stream()
-        svc.submit(sid, frames[0]).result(timeout=300)
+        svc.submit(sid, frames[0]).result(timeout=600)
         svc.close_stream(sid)
+        svc.wait_idle()
 
-        # --- paced tenants at mixed rates --------------------------------
-        rates = (60.0, 30.0, 30.0, 15.0)
+        # --- phase 1: closed-loop saturation -----------------------------
+        done = []
+        done_lock = threading.Lock()
+
+        def sat_client(window=8, dur=8.0):
+            try:
+                sid = svc.open_stream(max_latency_ms=1000.0)
+                futs = []
+                i = 0
+                t_end = time.perf_counter() + dur
+                while time.perf_counter() < t_end:
+                    while len(futs) < window:
+                        futs.append(
+                            svc.submit(sid, frames[i % len(frames)]))
+                        i += 1
+                    futs.pop(0).result(timeout=120)
+                for f in futs:
+                    f.result(timeout=120)
+                svc.close_stream(sid)
+                with done_lock:
+                    done.append(i)
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"sat: {e!r}")
+
+        t0 = time.perf_counter()
+        sat_threads = [threading.Thread(target=sat_client)
+                       for _ in range(4)]
+        for t in sat_threads:
+            t.start()
+        for t in sat_threads:
+            t.join()
+        sat_rps = sum(done) / (time.perf_counter() - t0)
+        svc.wait_idle()
+
+        # --- phase 2: paced tenants at ~60% of capacity ------------------
+        total = max(4.0, 0.6 * sat_rps)
+        rates = tuple(round(total * w / 9.0, 1) for w in (4, 2, 2, 1))
         lat_lock = threading.Lock()
         lats: list = []
 
         def client(rate):
-            sid = svc.open_stream()
-            period = 1.0 / rate
-            my = []
-            t_end = time.perf_counter() + duration_s
-            nxt = time.perf_counter()
-            while time.perf_counter() < t_end:
-                t0 = time.perf_counter()
-                fut = svc.submit(sid, frames[len(my) % len(frames)])
-                fut.add_done_callback(
-                    lambda _f, _t=t0: my.append(time.perf_counter() - _t))
-                nxt += period
-                dt = nxt - time.perf_counter()
-                if dt > 0:
-                    time.sleep(dt)
-            svc.close_stream(sid)
+            try:
+                sid = svc.open_stream()
+                period = 1.0 / rate
+                my = []
+                t_end = time.perf_counter() + duration_s
+                nxt = time.perf_counter()
+                while time.perf_counter() < t_end:
+                    t0 = time.perf_counter()
+                    fut = svc.submit(sid, frames[len(my) % len(frames)])
+                    fut.add_done_callback(
+                        lambda _f, _t=t0: my.append(
+                            time.perf_counter() - _t))
+                    nxt += period
+                    dt = nxt - time.perf_counter()
+                    if dt > 0:
+                        time.sleep(dt)
+                svc.close_stream(sid)
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"paced: {e!r}")
             with lat_lock:
                 lats.extend(my)
 
@@ -1090,41 +1167,13 @@ def config26_serving(duration_s=15.0):
             t.start()
         for t in threads:
             t.join()
+        svc.wait_idle()
         wall = time.perf_counter() - t0
         lat_ms = sorted(v * 1e3 for v in lats)
         n = len(lat_ms)
-        p50 = lat_ms[n // 2]
-        p99 = lat_ms[min(int(n * 0.99), n - 1)]
+        p50 = lat_ms[n // 2] if n else float("nan")
+        p99 = lat_ms[min(int(n * 0.99), n - 1)] if n else float("nan")
         adherence = sum(1 for v in lat_ms if v <= sla_ms) / max(n, 1)
-
-        # --- closed-loop saturation --------------------------------------
-        done = []
-        done_lock = threading.Lock()
-
-        def sat_client(window=8, dur=8.0):
-            sid = svc.open_stream(max_latency_ms=1000.0)
-            futs = []
-            i = 0
-            t_end = time.perf_counter() + dur
-            while time.perf_counter() < t_end:
-                while len(futs) < window:
-                    futs.append(svc.submit(sid, frames[i % len(frames)]))
-                    i += 1
-                futs.pop(0).result(timeout=120)
-            for f in futs:
-                f.result(timeout=120)
-            svc.close_stream(sid)
-            with done_lock:
-                done.append(i)
-
-        t0 = time.perf_counter()
-        sat_threads = [threading.Thread(target=sat_client)
-                       for _ in range(4)]
-        for t in sat_threads:
-            t.start()
-        for t in sat_threads:
-            t.join()
-        sat_rps = sum(done) / (time.perf_counter() - t0)
     finally:
         svc.shutdown()
 
@@ -1133,8 +1182,12 @@ def config26_serving(duration_s=15.0):
           paced_p50_ms=round(p50, 1), paced_p99_ms=round(p99, 1),
           sla_ms=sla_ms, sla_adherence=round(adherence, 3),
           streams=4, rates_fps=list(rates),
-          note="saturation = 4 closed-loop clients, window 8; paced rows "
-               "= 60/30/30/15 fps tenants with per-request futures")
+          errors=errors or None,
+          note="saturation = 4 closed-loop clients, window 8; paced = "
+               "4:2:2:1 tenants at 60% of measured saturation; both "
+               "phases pay the tunnel's ~70 ms dispatch RTT per chunk "
+               "(compute ~3 ms, config 8) — PCIe hosts clear the same "
+               "SLA at far higher rates")
 
 
 def config27_int8_reid(frames_n=288):

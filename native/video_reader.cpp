@@ -113,7 +113,9 @@ int vr_info(void* handle, int* w, int* h, double* fps, long long* count) {
 }
 
 // Copy up to `max` decoded frames into dst (contiguous h*w*3 u8 each).
-// Blocks until `max` frames are buffered or the stream ends, then drains;
+// Blocks until `max` frames have been copied or the stream ends, draining
+// the ring incrementally (so the decoder refills while the consumer
+// copies, and `max` larger than the ring capacity cannot deadlock);
 // returns the number copied (0 = EOF, -1 = error). A partial return
 // (< max, > 0) therefore only happens at end of stream.
 int vr_read(void* handle, unsigned char* dst, int max) {
@@ -123,18 +125,19 @@ int vr_read(void* handle, unsigned char* dst, int max) {
       static_cast<size_t>(r->w) * static_cast<size_t>(r->h) * 3u;
   int got = 0;
   std::unique_lock<std::mutex> lk(r->mu);
-  r->cv_pop.wait(lk, [&] {
-    return static_cast<int>(r->ring.size()) >= max || r->eof;
-  });
-  while (got < max && !r->ring.empty()) {
-    cv::Mat m = std::move(r->ring.front());
-    r->ring.pop_front();
-    lk.unlock();
-    std::memcpy(dst + static_cast<size_t>(got) * frame_bytes, m.data,
-                frame_bytes);
-    ++got;
-    lk.lock();
-    r->cv_push.notify_one();
+  while (got < max) {
+    r->cv_pop.wait(lk, [&] { return !r->ring.empty() || r->eof; });
+    if (r->ring.empty()) break;  // eof and fully drained
+    while (got < max && !r->ring.empty()) {
+      cv::Mat m = std::move(r->ring.front());
+      r->ring.pop_front();
+      r->cv_push.notify_one();
+      lk.unlock();
+      std::memcpy(dst + static_cast<size_t>(got) * frame_bytes, m.data,
+                  frame_bytes);
+      ++got;
+      lk.lock();
+    }
   }
   return got;
 }

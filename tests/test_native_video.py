@@ -103,3 +103,16 @@ def test_release_mid_stream_joins_cleanly():
     r.read_chunk(8)
     r.release()   # decode thread blocked on a full ring must unblock
     r.release()   # idempotent
+
+def test_chunk_larger_than_ring_drains_incrementally():
+    """read_chunk(k) with k > queue_depth must not deadlock: vr_read
+    drains the ring while the decoder refills (a chunk-96 pipeline over
+    the default 64-deep ring hung before this was fixed)."""
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    want = np.stack(_cv2_frames(96))
+    r = NativeVideoReader(CLIP, queue_depth=16, max_frames=96)
+    try:
+        got = r.read_chunk(96)
+    finally:
+        r.release()
+    np.testing.assert_array_equal(got, want)
