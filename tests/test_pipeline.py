@@ -512,3 +512,33 @@ def test_ocsort_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(s)),
                     jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_process_chunks_matches_process_frames(pipeline):
+    """Chunk-granular streaming (one Python crossing per dispatch) must
+    produce the same per-frame results as the frame-iterator path,
+    including a padded final partial chunk."""
+    frames = np.stack(_frames(10, seed=11))  # 2 full chunks + partial 2
+
+    pipeline.reset()
+    want = list(pipeline.process_frames(iter(list(frames))))
+
+    def chunks():
+        for i in range(0, len(frames), 4):
+            yield frames[i:i + 4]
+
+    pipeline.reset()
+    got = list(pipeline.process_chunks(chunks()))
+
+    assert [r.frame_index for r in got] == [r.frame_index for r in want]
+    for a, b in zip(got, want):
+        assert a.tracks == b.tracks
+        np.testing.assert_array_equal(a.det_boxes, b.det_boxes)
+        np.testing.assert_array_equal(a.det_scores, b.det_scores)
+
+
+def test_process_chunks_rejects_oversize_chunk(pipeline):
+    frames = np.stack(_frames(6, seed=12))
+    pipeline.reset()
+    with pytest.raises(ValueError, match="exceeds"):
+        list(pipeline.process_chunks(iter([frames])))

@@ -119,3 +119,23 @@ def test_pipeline_reid_quant_surface():
         0, 256, (2, 96, 128, 3), np.uint8)
     results = list(pipe.process_frames(iter(frames)))
     assert len(results) == 2
+
+
+def test_multistream_reid_quant_surface():
+    """MultiStreamPipeline(reid_quant='int8'): the quantized embed stage
+    runs under vmap across streams; identical frames on both streams
+    produce identical outputs."""
+    from aicamera_tpu.parallel import MultiStreamPipeline
+    with pytest.raises(ValueError, match="reid_quant"):
+        MultiStreamPipeline(n_streams=2, frame_hw=(96, 128),
+                            reid_quant="fp4")
+    pipe = MultiStreamPipeline(n_streams=2, frame_hw=(96, 128),
+                               input_shape=(128, 128),
+                               reid_quant="int8", max_reid_crops=4)
+    assert pipe.reid_quant == "int8"
+    one = np.random.RandomState(3).randint(0, 256, (2, 96, 128, 3),
+                                           np.uint8)
+    outs = pipe.step_chunk(np.stack([one, one]))
+    for o in outs:
+        a = np.asarray(o)
+        np.testing.assert_array_equal(a[0], a[1])

@@ -141,3 +141,20 @@ def test_shutdown_drains_and_rejects():
     with pytest.raises(RuntimeError, match="shut down"):
         service.open_stream()
     service.shutdown()  # idempotent
+
+
+def test_wait_idle_blocks_until_drained(svc):
+    """wait_idle must return only after every submitted frame resolved
+    and every slot is FREE — the safe point to re-lease slots for a new
+    tenant generation (benchmark config 26's phase boundary)."""
+    sid = svc.open_stream()
+    futs = [svc.submit(sid, f) for f in _frames(5, seed=9)]
+    svc.close_stream(sid)
+    svc.wait_idle(timeout=300)
+    assert all(f.done() for f in futs)
+    # all slots immediately re-leasable, no polling loop needed
+    a = svc.open_stream()
+    b = svc.open_stream()
+    svc.close_stream(a)
+    svc.close_stream(b)
+    svc.wait_idle(timeout=60)
