@@ -29,8 +29,10 @@ def demo_frame(hw=(540, 960), seed=0):
     rng = np.random.default_rng(seed)
     frame = rng.integers(0, 40, (*hw, 3), np.uint8)
     # paint a few solid rectangles so crops/boxes have structure
+    # (sizes scale down for small demo frames)
+    rw, rh = min(120, hw[1] // 2), min(160, hw[0] // 2)
     for _ in range(4):
-        x, y = rng.integers(0, hw[1] - 120), rng.integers(0, hw[0] - 160)
-        w, h = rng.integers(40, 120), rng.integers(80, 160)
+        x, y = rng.integers(0, hw[1] - rw), rng.integers(0, hw[0] - rh)
+        w, h = rng.integers(rw // 3, rw), rng.integers(rh // 2, rh)
         frame[y:y + h, x:x + w] = rng.integers(60, 255, 3, np.uint8)
     return frame
