@@ -281,15 +281,8 @@ def main(argv=None):
     # headless native-IO fast path: drain the C++ decoder in whole chunks
     # (one Python crossing per device dispatch); frames are only kept
     # per-frame when something draws them
-    use_chunked = (args.native_io and hasattr(reader, "read_chunk")
+    use_chunked = (args.native_io and hasattr(reader, "chunks")
                    and writer is None and not show)
-
-    def native_chunks():
-        while True:
-            c = reader.read_chunk(chunk)
-            if len(c) == 0:
-                return
-            yield c
 
     from .runtime.profiler import StageTimer
     timer = StageTimer() if args.profile else None
@@ -300,7 +293,7 @@ def main(argv=None):
     t_compute = 0.0
     try:
         t0 = time.perf_counter()
-        result_iter = (pipeline.process_chunks(native_chunks())
+        result_iter = (pipeline.process_chunks(reader.chunks(chunk))
                        if use_chunked
                        else pipeline.process_frames(indexed_frames()))
         for result in result_iter:

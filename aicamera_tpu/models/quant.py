@@ -111,6 +111,9 @@ class QuantReIDNet:
 
     def __init__(self, feature_dim: int = 512):
         self.feature_dim = feature_dim
+        # input dtype contract for callers (apply() quantizes its own
+        # input per crop); int8 lives strictly inside the program
+        self.dtype = jnp.float32
 
     def apply(self, qparams, x):
         x = x.astype(jnp.float32)

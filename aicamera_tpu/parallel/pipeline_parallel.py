@@ -26,6 +26,7 @@ freedom.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -150,7 +151,21 @@ class PipelineParallelDetector:
         if self._stage_params is None:
             raise RuntimeError("call place_params(full_params) first")
         b = frames.shape[0]
-        mb = microbatch or max(1, b // 2)
+        # composed mode shards every microbatch over each stage mesh's
+        # 'stream' axis, so the microbatch must divide by all of them
+        stream_div = 1
+        if self.meshes is not None:
+            for m in self.meshes:
+                stream_div = math.lcm(stream_div, m.shape["stream"])
+        if microbatch is None:
+            mb = max(stream_div, (b // 2) // stream_div * stream_div)
+        else:
+            mb = microbatch
+            if mb % stream_div:
+                raise ValueError(
+                    f"microbatch {mb} must be divisible by the stage "
+                    f"meshes' 'stream' axis size(s) (lcm {stream_div}) — "
+                    "each microbatch is batch-sharded over that axis")
         if b % mb:
             raise ValueError(f"batch {b} not divisible by microbatch {mb}")
         bp, np_, hp = self._stage_params

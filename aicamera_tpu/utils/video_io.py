@@ -141,6 +141,16 @@ class NativeVideoReader:
             raise RuntimeError("native video read failed")
         return buf[:n]
 
+    def chunks(self, k: int) -> Iterator[np.ndarray]:
+        """Yield ``(n <= k, H, W, 3)`` chunks until end of stream — the
+        feed for ``TrackingPipeline.process_chunks`` (one Python crossing
+        per device dispatch)."""
+        while True:
+            chunk = self.read_chunk(k)
+            if len(chunk) == 0:
+                return
+            yield chunk
+
     def frames(self) -> Iterator[np.ndarray]:
         while True:
             chunk = self.read_chunk(1)

@@ -328,18 +328,10 @@ def config6_streaming_e2e(chunk=32):
     if video_available():
         from aicamera_tpu.utils.video_io import NativeVideoReader
         nreader = NativeVideoReader(str(CLIP))
-
-        def chunks():
-            while True:
-                c = nreader.read_chunk(chunk)
-                if len(c) == 0:
-                    return
-                yield c
-
         pipe.reset()
         n2 = 0
         t0 = time.perf_counter()
-        for result in pipe.process_chunks(chunks()):
+        for result in pipe.process_chunks(nreader.chunks(chunk)):
             _ = result.tracks
             n2 += 1
         dt2 = time.perf_counter() - t0
@@ -353,21 +345,10 @@ def config6_streaming_e2e(chunk=32):
         # size is the one free lever; latency rises to ~chunk/fps.
         pipe96 = TrackingPipeline(chunk_size=96)
         nreader = NativeVideoReader(str(CLIP))
-
-        def chunks96():
-            while True:
-                c = nreader.read_chunk(96)
-                if len(c) == 0:
-                    return
-                yield c
-
-        first96 = next(chunks96())
-        pipe96.warm_up(first96.shape[1:3])
-        nreader.release()
-        nreader = NativeVideoReader(str(CLIP))
+        pipe96.warm_up((nreader.height, nreader.width))
         n3 = 0
         t0 = time.perf_counter()
-        for result in pipe96.process_chunks(chunks96()):
+        for result in pipe96.process_chunks(nreader.chunks(96)):
             _ = result.tracks
             n3 += 1
         dt3 = time.perf_counter() - t0
@@ -1138,23 +1119,30 @@ def config26_serving(duration_s=12.0):
         lats: list = []
 
         def client(rate):
+            my = []
             try:
                 sid = svc.open_stream()
                 period = 1.0 / rate
-                my = []
+                futs = []
                 t_end = time.perf_counter() + duration_s
                 nxt = time.perf_counter()
                 while time.perf_counter() < t_end:
                     t0 = time.perf_counter()
-                    fut = svc.submit(sid, frames[len(my) % len(frames)])
+                    fut = svc.submit(sid, frames[len(futs) % len(frames)])
                     fut.add_done_callback(
                         lambda _f, _t=t0: my.append(
                             time.perf_counter() - _t))
+                    futs.append(fut)
                     nxt += period
                     dt = nxt - time.perf_counter()
                     if dt > 0:
                         time.sleep(dt)
                 svc.close_stream(sid)
+                # drain before recording: the slowest (last-queued)
+                # requests are exactly the p99/SLA tail — dropping them
+                # would make the latency rows systematically optimistic
+                for f in futs:
+                    f.result(timeout=300)
             except Exception as e:  # noqa: BLE001
                 errors.append(f"paced: {e!r}")
             with lat_lock:

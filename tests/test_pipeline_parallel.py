@@ -163,3 +163,19 @@ def test_composed_mesh_validation(setup):
                                  devices=jax.devices()[:1])
     with pytest.raises(ValueError, match="at least one mesh"):
         PipelineParallelDetector("n", meshes=[])
+
+
+def test_composed_microbatch_validation(setup):
+    """Explicit microbatch not divisible by the stage meshes' 'stream'
+    axis must fail with a clear error; the default rounds itself to a
+    valid size (covered by the composed equality test)."""
+    from jax.sharding import Mesh
+    model, params, x = setup
+    devs = np.array(jax.devices())
+    if devs.size < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(devs[:4].reshape(2, 2), ("stream", "model"))
+    pp = PipelineParallelDetector("n", meshes=[mesh])
+    pp.place_params(params)
+    with pytest.raises(ValueError, match="stream"):
+        pp.forward(jnp.asarray(x[:3]), microbatch=3)
