@@ -158,7 +158,21 @@ class PipelineParallelDetector:
             for m in self.meshes:
                 stream_div = math.lcm(stream_div, m.shape["stream"])
         if microbatch is None:
-            mb = max(stream_div, (b // 2) // stream_div * stream_div)
+            if b % stream_div:
+                raise ValueError(
+                    f"batch {b} not divisible by the stage meshes' "
+                    f"'stream' axis size(s) (lcm {stream_div}) — no "
+                    "microbatch can shard it")
+            # largest stream_div multiple that divides b while keeping at
+            # least two microbatches in flight; falls back to one
+            # microbatch (mb = b) so the default never raises for a batch
+            # the explicit path would accept
+            mb = b
+            for cand in range((b // 2) // stream_div * stream_div, 0,
+                              -stream_div):
+                if b % cand == 0:
+                    mb = cand
+                    break
         else:
             mb = microbatch
             if mb % stream_div:

@@ -824,7 +824,10 @@ class TrackingPipeline:
         for chunk in chunks:
             n = chunk.shape[0]
             if n == 0:
-                break
+                # transient empty batch (e.g. an upstream filter passing
+                # nothing through) — skip it; only generator exhaustion
+                # ends the stream
+                continue
             if n > k:
                 raise ValueError(f"chunk of {n} frames exceeds the "
                                  f"pipeline chunk_size {k}")

@@ -147,10 +147,20 @@ class TrackingService:
 
 @dataclasses.dataclass
 class StreamFrameResult:
-    """Per-frame result for one tenant stream."""
+    """Per-frame result for one tenant stream.
+
+    The three timestamps (``time.perf_counter`` seconds) decompose the
+    request's latency for SLA accounting: ``dispatch_ts - arrival_ts`` is
+    queue wait (the scheduler's contribution), ``resolve_ts -
+    dispatch_ts`` is device step + readback RPC (on the tunneled dev
+    runtime the RPC dominates; benchmark config 26 quotes the measured
+    device-only dispatch time separately)."""
     stream_id: int
     frame_index: int   # per-stream frame counter
     tracks: list       # [(x1, y1, x2, y2, track_id, class_name, conf), ...]
+    arrival_ts: float = 0.0
+    dispatch_ts: float = 0.0
+    resolve_ts: float = 0.0
 
 
 _FREE, _ACTIVE, _DRAINING = 0, 1, 2
@@ -161,7 +171,8 @@ class _StreamSlot:
 
     def __init__(self):
         self.state = _FREE
-        self.pending = collections.deque()  # (Future, frame, arrival_ts)
+        # (Future, frame, arrival_ts, deadline_ts)
+        self.pending = collections.deque()
         self.sla = 0.0
         self.next_index = 0
         self.needs_reset = False
@@ -177,11 +188,26 @@ class MultiTenantTrackingService:
     a per-(stream, frame) validity mask so tenants at different frame
     rates never advance each other's tracker state.
 
-    Per-stream SLAs: each stream sets ``max_latency_ms`` at
-    :meth:`open_stream`; a dispatch fires as soon as any stream has a
-    full chunk queued OR any queued frame's SLA window expires, so a
-    15 fps webcam tenant and a 60 fps file tenant can share one device
-    without the slow one stalling the fast one.
+    Deadline-aware adaptive windowing: every request carries a deadline
+    (arrival + the stream's ``max_latency_ms``, or an explicit
+    ``deadline_ms`` at :meth:`submit`). The worker keeps an EWMA of the
+    measured dispatch->result cycle time and fires a dispatch with that
+    much lead time *before* the earliest queued deadline — never after
+    it — so the window a lone frame waits for batch-mates is
+    ``SLA - est_cycle``, shrinking automatically as the device slows.
+    Under load, full chunks coalesce (a full slot fires immediately and
+    every other tenant's queued frames ride the same fused program);
+    under headroom, an EWMA arrival-rate estimate detects that no
+    batch-mates are expected inside the deadline budget and dispatches
+    the lone frame at once instead of burning its SLA waiting. The
+    pipelined one-behind chunk resolves the moment the worker would
+    otherwise sleep (deferred only on the saturated path, where
+    dispatching N+1 before resolving N buys gather/compute overlap).
+    Dispatches stay
+    async end-to-end (``copy_to_host_async`` + deferred ``device_get``,
+    the discipline of the reference's engine wrapper — reference
+    trt_utils/trt_engine.py:151-203 executes async on the caller's
+    stream with no internal sync).
 
     Slots are leased: :meth:`close_stream` drains the tenant's queued
     frames and frees the slot; the next :meth:`open_stream` re-leases it
@@ -194,6 +220,7 @@ class MultiTenantTrackingService:
                  frame_hw: Tuple[int, int] = (720, 1280),
                  chunk_size: int = 4,
                  max_latency_ms: float = 30.0,
+                 sla_margin_ms: float = 5.0,
                  pipeline=None, **pipeline_kwargs):
         if pipeline is None:
             from .parallel import MultiStreamPipeline
@@ -204,8 +231,20 @@ class MultiTenantTrackingService:
         self.frame_hw = tuple(pipeline.frame_hw)
         self.chunk_size = int(chunk_size)
         self.default_sla = max_latency_ms / 1e3
+        self.sla_margin = sla_margin_ms / 1e3
         self._slots = [_StreamSlot() for _ in range(self.n_streams)]
         self._outstanding = 0  # submitted frames not yet resolved
+        # Scheduler estimators (EWMA, alpha 0.3). est_cycle = measured
+        # dispatch->results-available seconds (the lead time a dispatch
+        # needs before a deadline); est_resolve = device_get duration;
+        # arrival_rate = 1/EWMA(inter-arrival) across all tenants, used
+        # to decide whether waiting for batch-mates can pay off.
+        self._est_cycle = 0.0
+        self._est_resolve = 0.0
+        self._mean_interarrival = 0.0
+        self._last_arrival = 0.0
+        self.stats = {"dispatches": 0, "frames": 0, "deadline_fires": 0,
+                      "full_fires": 0, "eager_fires": 0}
         self._cond = threading.Condition()
         self._running = True
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -233,9 +272,11 @@ class MultiTenantTrackingService:
         raise RuntimeError(
             f"all {self.n_streams} stream slots are leased")
 
-    def submit(self, stream_id: int, frame_bgr: np.ndarray) -> Future:
+    def submit(self, stream_id: int, frame_bgr: np.ndarray,
+               deadline_ms: float | None = None) -> Future:
         """Enqueue one frame for a leased stream; Future of
-        StreamFrameResult."""
+        StreamFrameResult. ``deadline_ms`` overrides the stream's SLA
+        window for this request (latency budget from now)."""
         frame = np.asarray(frame_bgr)
         if frame.shape != (*self.frame_hw, 3):
             raise ValueError(
@@ -249,8 +290,18 @@ class MultiTenantTrackingService:
             slot = self._slots[stream_id]
             if slot.state != _ACTIVE:
                 raise RuntimeError(f"stream {stream_id} is not open")
-            slot.pending.append((fut, frame, time.perf_counter()))
+            now = time.perf_counter()
+            budget = slot.sla if deadline_ms is None else deadline_ms / 1e3
+            slot.pending.append((fut, frame, now, now + budget))
             self._outstanding += 1
+            # arrival-rate EWMA (all tenants): long idle gaps decay the
+            # rate so a sporadic frame dispatches eagerly
+            if self._last_arrival:
+                dt = now - self._last_arrival
+                self._mean_interarrival = (
+                    dt if self._mean_interarrival == 0.0
+                    else 0.7 * self._mean_interarrival + 0.3 * dt)
+            self._last_arrival = now
             self._cond.notify()
         return fut
 
@@ -293,32 +344,77 @@ class MultiTenantTrackingService:
 
     # --- worker --------------------------------------------------------------
 
-    def _dispatch_ready(self, now: float) -> bool:
-        """True when some queued frame must ride a dispatch now."""
+    def _earliest_deadline(self) -> Optional[float]:
+        dl = None
+        for slot in self._slots:
+            if slot.pending:
+                d = slot.pending[0][3]
+                dl = d if dl is None else min(dl, d)
+        return dl
+
+    def _dispatch_ready(self, now: float, device_idle: bool) -> bool:
+        """True when some queued frame must (or profitably may) ride a
+        dispatch now. Lock held. Three triggers:
+
+        - COALESCE: a slot has a full chunk queued — fire at once, and
+          every other tenant's queued frames ride the same program.
+        - DEADLINE: the earliest queued deadline is within the measured
+          dispatch-cycle lead time (+ margin). Fires *before* the
+          deadline, by construction, as long as est_cycle tracks truth.
+        - EAGER (headroom shrink): the device is idle and either (a) the
+          arrival rate says fewer than one batch-mate is expected within
+          the remaining deadline budget, or (b) the oldest queued frame
+          has already waited one dispatch cycle for batch-mates —
+          waiting longer while the device sits idle is strictly worse
+          than dispatching now and batching later arrivals into the
+          next dispatch.
+        """
+        pending = False
+        oldest = None
         for slot in self._slots:
             if not slot.pending:
                 continue
+            pending = True
+            a = slot.pending[0][2]
+            oldest = a if oldest is None else min(oldest, a)
             if len(slot.pending) >= self.chunk_size:
+                self.stats["full_fires"] += 1
                 return True
-            if now - slot.pending[0][2] >= slot.sla:
+        if not pending:
+            return False
+        dl = self._earliest_deadline()
+        lead = self._est_cycle + self.sla_margin
+        if now + lead >= dl:
+            self.stats["deadline_fires"] += 1
+            return True
+        if device_idle:
+            budget = dl - lead - now
+            rate = (1.0 / self._mean_interarrival
+                    if self._mean_interarrival > 0 else 0.0)
+            if (rate * budget < 1.0 or
+                    now - oldest >= max(self._est_cycle, self.sla_margin)):
+                self.stats["eager_fires"] += 1
                 return True
         return False
 
-    def _next_deadline(self, now: float) -> float:
-        """Seconds until the earliest SLA expiry (0.05 floor/idle cap)."""
-        deadline = 0.05
-        for slot in self._slots:
-            if slot.pending:
-                deadline = min(deadline,
-                               max(slot.pending[0][2] + slot.sla - now, 0.0))
-        return deadline
+    def _next_wake(self, now: float) -> float:
+        """Seconds until the next scheduling event: the earliest queued
+        deadline minus dispatch lead (0 floor, 0.05 idle cap — the cap
+        also bounds the eager wait-for-batch-mates granularity)."""
+        wake = 0.05
+        dl = self._earliest_deadline()
+        if dl is not None:
+            wake = min(wake, dl - self._est_cycle - self.sla_margin - now)
+        return max(wake, 0.0)
 
     def _gather(self):
-        """Build one (S, K, H, W, 3) batch from queued frames. Lock held."""
+        """Build one (S, K, H, W, 3) batch from queued frames. Lock held.
+        Returns (frames, valid, jobs, earliest_deadline_of_jobs)."""
         k = self.chunk_size
         frames = np.zeros((self.n_streams, k, *self.frame_hw, 3), np.uint8)
         valid = np.zeros((self.n_streams, k), bool)
-        jobs = []  # (stream_id, t, future, frame_index)
+        jobs = []  # (stream_id, t, future, frame_index, arrival_ts)
+        deadline = None
         for sid, slot in enumerate(self._slots):
             if slot.needs_reset:
                 # safe here: the worker thread owns the device between
@@ -326,74 +422,107 @@ class MultiTenantTrackingService:
                 self.pipeline.reset_stream(sid)
                 slot.needs_reset = False
             for t in range(min(k, len(slot.pending))):
-                fut, frame, _ = slot.pending.popleft()
+                fut, frame, arrival, dl = slot.pending.popleft()
                 frames[sid, t] = frame
                 valid[sid, t] = True
-                jobs.append((sid, t, fut, slot.next_index))
+                jobs.append((sid, t, fut, slot.next_index, arrival))
+                deadline = dl if deadline is None else min(deadline, dl)
                 slot.next_index += 1
             if slot.state == _DRAINING and not slot.pending:
                 slot.state = _FREE
-        return frames, valid, jobs
+        return frames, valid, jobs, deadline
 
     def _resolve(self, inflight):
-        outs, jobs = inflight
+        outs, jobs, dispatch_ts, _dl = inflight
+        t0 = time.perf_counter()
         try:
             import jax
             tlbr, ids, cls, conf, mask = jax.device_get(outs)
-            for sid, t, fut, fidx in jobs:
+            resolve_ts = time.perf_counter()
+            for sid, t, fut, fidx, arrival in jobs:
                 fut.set_result(StreamFrameResult(
                     stream_id=sid, frame_index=fidx,
                     tracks=_format_tracks(tlbr[sid, t], ids[sid, t],
                                           cls[sid, t], conf[sid, t],
-                                          mask[sid, t])))
+                                          mask[sid, t]),
+                    arrival_ts=arrival, dispatch_ts=dispatch_ts,
+                    resolve_ts=resolve_ts))
         except Exception as e:  # pragma: no cover - device failure path
-            for _, _, fut, _ in jobs:
+            resolve_ts = time.perf_counter()
+            for _, _, fut, _, _ in jobs:
                 if not fut.done():
                     fut.set_exception(e)
         finally:
+            # EWMA the scheduler's lead-time estimates from what actually
+            # happened: full dispatch->results latency and the blocking
+            # device_get portion
+            cycle = resolve_ts - dispatch_ts
+            blk = resolve_ts - t0
+            a = 0.3
+            self._est_cycle = (cycle if self._est_cycle == 0.0
+                               else (1 - a) * self._est_cycle + a * cycle)
+            self._est_resolve = (blk if self._est_resolve == 0.0
+                                 else (1 - a) * self._est_resolve + a * blk)
             self._finished(len(jobs))
 
     def _run(self):
-        inflight = None
+        inflight = None  # (outs, jobs, dispatch_ts, earliest_deadline)
         while True:
+            do_dispatch = False
             with self._cond:
                 now = time.perf_counter()
-                # Wait until a dispatch is due, shutdown begins, or we go
-                # idle with an unresolved in-flight chunk to flush.
-                while self._running and not self._dispatch_ready(now):
-                    if inflight is not None and \
-                            not any(s.pending for s in self._slots):
-                        break  # idle: flush the outstanding chunk below
-                    self._cond.wait(timeout=self._next_deadline(now))
+                # Wait until a dispatch is due or shutdown begins. An
+                # unresolved in-flight chunk never waits: the moment the
+                # worker would otherwise sleep, it resolves the chunk
+                # (prompt results, and a free device re-enables the
+                # eager dispatch path). The one-behind deferral only
+                # applies on the saturated path — dispatch N+1 first,
+                # then resolve N — where it buys gather/compute overlap.
+                while self._running:
+                    if self._dispatch_ready(now, inflight is None):
+                        do_dispatch = True
+                        break
+                    if inflight is not None:
+                        break  # resolve the outstanding chunk below
+                    self._cond.wait(timeout=self._next_wake(now))
                     now = time.perf_counter()
-                if not self._running and \
-                        not any(s.pending for s in self._slots):
-                    break
-                frames, valid, jobs = self._gather()
-            if jobs:
+                if not self._running:
+                    if any(s.pending for s in self._slots):
+                        do_dispatch = True  # drain
+                    elif inflight is None:
+                        break
+                if do_dispatch:
+                    frames, valid, jobs, job_dl = self._gather()
+                    do_dispatch = bool(jobs)
+            if do_dispatch:
+                dispatch_ts = time.perf_counter()
                 try:
                     outs = self.pipeline.step_chunk(frames,
                                                     frame_valid=valid)
                     for leaf in outs:
                         leaf.copy_to_host_async()
                 except Exception as e:  # pragma: no cover - device failure
-                    for _, _, fut, _ in jobs:
+                    for _, _, fut, _, _ in jobs:
                         fut.set_exception(e)
                     self._finished(len(jobs))
                     continue
-                prev, inflight = inflight, (outs, jobs)
+                self.stats["dispatches"] += 1
+                self.stats["frames"] += len(jobs)
+                prev, inflight = inflight, (outs, jobs, dispatch_ts, job_dl)
                 if prev is not None:
                     self._resolve(prev)
             elif inflight is not None:
                 self._resolve(inflight)
                 inflight = None
+            elif not self._running:
+                break
         if inflight is not None:
             self._resolve(inflight)
         # reject anything that slipped in after the drain loop exited
         with self._cond:
             for slot in self._slots:
                 while slot.pending:
-                    fut, _, _ = slot.pending.popleft()
+                    fut, _, _, _ = slot.pending.popleft()
                     fut.set_exception(RuntimeError("service shut down"))
                     self._outstanding -= 1
             self._cond.notify_all()

@@ -384,10 +384,13 @@ def config6_streaming_e2e(chunk=32):
 
     import jax as _jax
     t0 = time.perf_counter()
-    for i in range(0, nf - chunk + 1, chunk):
-        buf = _jax.device_put(arr[i:i + chunk])
-    _jax.block_until_ready(buf)
+    bufs = [_jax.device_put(arr[i:i + chunk])
+            for i in range(0, nf - chunk + 1, chunk)]
+    _jax.block_until_ready(bufs)  # all transfers, not just the last enqueue
     t_upload = time.perf_counter() - t0
+    n_up = len(bufs) * chunk  # whole chunks only (nf may not divide)
+    upload_fps = round(n_up / t_upload, 1) if bufs else float("nan")
+    del bufs
 
     pipe.reset()
     runs, _n3 = _timed_run(pipe, arr, k=chunk, reps=1)
@@ -396,7 +399,7 @@ def config6_streaming_e2e(chunk=32):
     _emit("6c_streaming_decomposition", round(nf / t_decode, 1),
           unit="decode_fps",
           decode_native_fps=round(nf / t_decode_native, 1),
-          upload_fps=round(nf / t_upload, 1),
+          upload_fps=upload_fps,
           compute_fps=round(compute_fps, 1),
           frames=nf, chunk=chunk,
           note="e2e is min of stages when fully overlapped; on this "

@@ -164,6 +164,90 @@ def test_shutdown_drains_and_rejects():
     service.shutdown()  # idempotent
 
 
+def test_eager_dispatch_under_headroom(svc):
+    """A lone frame on an idle service must NOT burn its SLA window
+    waiting for batch-mates that the arrival rate says will never come:
+    the eager trigger dispatches it at once. (The pre-r4 scheduler waited
+    for the full SLA expiry before dispatching a partial window — a lone
+    frame with an 8 s SLA took >8 s.)"""
+    import time
+    sid = svc.open_stream(max_latency_ms=8000.0)
+    # warm: first dispatch on a fresh service compiles (~30 s on CPU)
+    svc.submit(sid, _frames(1, seed=98)[0]).result(timeout=300)
+    t0 = time.perf_counter()
+    res = svc.submit(sid, _frames(1, seed=11)[0]).result(timeout=300)
+    wall = time.perf_counter() - t0
+    svc.close_stream(sid)
+    assert wall < 2.0, f"lone frame took {wall:.2f}s against an 8s SLA"
+    # timing surface populated and ordered
+    assert 0 < res.arrival_ts <= res.dispatch_ts <= res.resolve_ts
+    # queue wait (the scheduler's contribution) is far below the SLA
+    assert res.dispatch_ts - res.arrival_ts < 1.0
+
+
+def test_deadline_aware_dispatch_meets_sla(svc):
+    """Every request must be DISPATCHED before its deadline (the pre-r4
+    scheduler fired partial windows only after `now - arrival >= sla`,
+    i.e. strictly after the deadline) and, on this warm CPU service,
+    resolve within its SLA end-to-end."""
+    import time
+    sla_ms = 10000.0  # generous: warm CPU steps are ~1s on a loaded host
+    sid = svc.open_stream(max_latency_ms=sla_ms)
+    # warm: the first dispatch on a fresh service compiles the fused
+    # step (~30 s on CPU) — that belongs to startup, not the SLA window
+    svc.submit(sid, _frames(1, seed=99)[0]).result(timeout=300)
+    futs = [svc.submit(sid, f) for f in _frames(5, seed=12)]
+    results = [f.result(timeout=300) for f in futs]
+    svc.close_stream(sid)
+    for r in results:
+        deadline = r.arrival_ts + sla_ms / 1e3
+        assert r.dispatch_ts < deadline, (
+            f"frame {r.frame_index} dispatched "
+            f"{(r.dispatch_ts - deadline) * 1e3:.1f} ms after its deadline")
+        assert r.resolve_ts <= deadline + 0.05, (
+            f"frame {r.frame_index} resolved late: "
+            f"{(r.resolve_ts - r.arrival_ts) * 1e3:.1f} ms vs {sla_ms} ms")
+        # queue wait — the scheduler's own contribution — stays small
+        # even though each warm CPU step costs ~1s here (the old
+        # scheduler's partial-window wait was the full SLA)
+        assert r.dispatch_ts - r.arrival_ts < 0.5 * sla_ms / 1e3
+    # scheduler accounting: dispatches happened and were categorized
+    s = svc.stats
+    assert s["dispatches"] >= 1 and s["frames"] >= 5
+    assert (s["full_fires"] + s["deadline_fires"] + s["eager_fires"]) >= 1
+
+
+def test_burst_coalesces_into_batched_dispatches(svc):
+    """A burst larger than one chunk must ride fewer dispatches than
+    frames (full-window coalescing), not degrade to frame-per-dispatch."""
+    before = svc.stats["dispatches"]
+    sid = svc.open_stream(max_latency_ms=5000.0)
+    futs = [svc.submit(sid, f) for f in _frames(6, seed=13)]
+    for f in futs:
+        f.result(timeout=300)
+    svc.close_stream(sid)
+    svc.wait_idle(timeout=60)
+    n_dispatches = svc.stats["dispatches"] - before
+    assert n_dispatches < 6, (
+        f"6-frame burst used {n_dispatches} dispatches (no coalescing)")
+
+
+def test_per_request_deadline_override(svc):
+    """submit(deadline_ms=...) overrides the stream SLA for that request."""
+    import time
+    sid = svc.open_stream(max_latency_ms=60000.0)  # huge stream SLA
+    svc.submit(sid, _frames(1, seed=97)[0],
+               deadline_ms=400.0).result(timeout=300)  # warm compile
+    t0 = time.perf_counter()
+    res = svc.submit(sid, _frames(1, seed=14)[0],
+                     deadline_ms=400.0).result(timeout=300)
+    wall = time.perf_counter() - t0
+    svc.close_stream(sid)
+    # the tight per-request deadline drove dispatch, not the 60s SLA
+    assert wall < 5.0
+    assert res.dispatch_ts - res.arrival_ts < 0.5
+
+
 def test_wait_idle_blocks_until_drained(svc):
     """wait_idle must return only after every submitted frame resolved
     and every slot is FREE — the safe point to re-lease slots for a new
