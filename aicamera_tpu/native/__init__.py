@@ -86,7 +86,7 @@ def _load_video():
         return None
     lib.vr_open.restype = ctypes.c_void_p
     lib.vr_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-                            ctypes.c_longlong]
+                            ctypes.c_longlong, ctypes.c_int]
     lib.vr_info.restype = ctypes.c_int
     lib.vr_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
                             ctypes.POINTER(ctypes.c_int),

@@ -91,10 +91,27 @@ class NativeVideoReader:
     """
 
     def __init__(self, source, queue_depth: int = 64,
-                 max_frames: Optional[int] = None):
+                 max_frames: Optional[int] = None,
+                 n_threads: Optional[int] = None):
+        """``n_threads`` > 1 enables segment-parallel decode for seekable
+        files with a known frame count (each worker seeks once to its own
+        contiguous segment; frames are merged in order through a bounded
+        reorder window of ``queue_depth`` frames). Webcams and unindexed
+        streams always decode on one worker. ``None`` (default) uses
+        ``min(4, usable cores)`` — on a single-core host extra decode
+        threads only add contention (measured 273 -> 143 FPS at 4
+        threads on the 540p reference clip)."""
         import ctypes
+        import os
 
         from .. import native as _native
+
+        if n_threads is None:
+            try:
+                cores = len(os.sched_getaffinity(0))
+            except AttributeError:  # non-Linux
+                cores = os.cpu_count() or 1
+            n_threads = min(4, max(1, cores))
 
         lib = _native._load_video()
         if lib is None:
@@ -105,13 +122,15 @@ class NativeVideoReader:
         if isinstance(source, int):
             self.is_webcam = True
             handle = lib.vr_open(b"", source, queue_depth,
-                                 -1 if max_frames is None else max_frames)
+                                 -1 if max_frames is None else max_frames,
+                                 1)
         else:
             self.is_webcam = False
             if not Path(str(source)).exists():
                 raise FileNotFoundError(f"Input video not found: {source}")
             handle = lib.vr_open(str(source).encode(), -1, queue_depth,
-                                 -1 if max_frames is None else max_frames)
+                                 -1 if max_frames is None else max_frames,
+                                 max(1, int(n_threads)))
         if not handle:
             raise RuntimeError(f"Could not open video source: {source}")
         self._handle = handle

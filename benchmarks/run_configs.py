@@ -1052,27 +1052,41 @@ def config25_tiled_4k(frames_n=24):
 def config26_serving(duration_s=12.0):
     """Multi-tenant serving under concurrent clients
     (serving.py::MultiTenantTrackingService — one fused device program
-    batches all tenants per dispatch; per-stream SLA windows decide when
-    a partial batch fires). Two phases:
+    batches all tenants per dispatch; deadline-aware adaptive windowing
+    decides when a partial batch fires). Three phases:
 
+    0. DEVICE DISPATCH COST (axon-safe, scripts/axon_timing.py): the
+       service's exact masked multistream program measured in device
+       time — distinct pre-staged (S, K) frame buffers chained through
+       the donated tracker states, outputs folded to scalars, one fetch
+       at the end. Yields the MEASURED per-dispatch device cost and the
+       serving path's device capacity in req/s (replacing the r3 row's
+       inferred PCIe projection).
     1. SATURATION: 4 closed-loop clients (re-submit on resolve, window
-       8) measure the service's peak request throughput on this host.
+       8) measure the service's peak request throughput on this host
+       (tunnel-bound here; device capacity is phase 0).
     2. PACED: 4 tenants at mixed rates summing to ~60% of the measured
        saturation (weighted 4:2:2:1) submit with per-request futures for
-       ``duration_s``; reports latency p50/p99 and SLA adherence. A
-       paced load above capacity would only measure queue growth.
-
-    On the tunneled dev runtime the dispatch+readback RTT (config 8:
-    wall ~70 ms vs ~3 ms compute) bounds both phases; the note carries
-    the PCIe projection."""
+       ``duration_s``. Reports wall latency p50/p99 AND the compute-time
+       SLA adherence: per-request latency = measured queue wait
+       (dispatch_ts - arrival_ts, the scheduler's real contribution
+       under this load) + the phase-0 device dispatch cost. The tunnel's
+       RPC round trip (resolve_ts - dispatch_ts, absent on a PCIe host)
+       is quoted separately, not buried in the SLA row.
+    """
     import threading
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from aicamera_tpu.serving import MultiTenantTrackingService
+    from scripts.axon_timing import fold_outputs
 
     frames = _load_clip(32)
     hw = frames.shape[1:3]
     sla_ms = 250.0
-    svc = MultiTenantTrackingService(n_streams=4, frame_hw=hw,
-                                     chunk_size=4, max_latency_ms=sla_ms)
+    n_streams, k = 4, 4
+    svc = MultiTenantTrackingService(n_streams=n_streams, frame_hw=hw,
+                                     chunk_size=k, max_latency_ms=sla_ms)
     errors: list = []
     try:
         # warm the fused step (compile happens on the first dispatch)
@@ -1080,6 +1094,43 @@ def config26_serving(duration_s=12.0):
         svc.submit(sid, frames[0]).result(timeout=600)
         svc.close_stream(sid)
         svc.wait_idle()
+
+        # --- phase 0: measured device time of the serving dispatch -------
+        pipe = svc.pipeline
+        if pipe._chunk_step_masked is None:
+            pipe._chunk_step_masked = pipe._jit_with_shardings(
+                pipe._chunk_step_raw,
+                n_extra_stream_args=pipe._masked_extra)
+        mstep = pipe._chunk_step_masked
+        fv = jnp.ones((n_streams, k), bool)
+        rng = np.random.RandomState(7)
+        staged = []
+        for i in range(14):
+            # distinct buffers: rotate clip frames + per-buffer noise so
+            # the tunneled runtime cannot short-circuit repeat dispatches
+            idx = rng.randint(0, len(frames), size=(n_streams, k))
+            staged.append(jnp.asarray(frames[idx]))
+        jax.block_until_ready(staged)
+        states = pipe.states
+        # warm the chained path (2 dispatches + fetch)
+        for i in range(2):
+            states, outs = mstep(pipe.yolo_params, pipe.reid_params,
+                                 states, staged[i], fv)
+        jax.device_get(fold_outputs(outs))
+        t0 = time.perf_counter()
+        scalars = []
+        for buf in staged[2:]:
+            states, outs = mstep(pipe.yolo_params, pipe.reid_params,
+                                 states, buf, fv)
+            scalars.append(fold_outputs(outs))
+        jax.device_get(scalars)
+        t_dispatch = (time.perf_counter() - t0) / len(staged[2:])
+        dispatch_device_ms = t_dispatch * 1e3
+        device_req_per_s = n_streams * k / t_dispatch
+        # hand the (donated-through) states back to the service; every
+        # open_stream resets its slot before first use anyway
+        pipe.states = states
+        del staged
 
         # --- phase 1: closed-loop saturation -----------------------------
         done = []
@@ -1119,7 +1170,7 @@ def config26_serving(duration_s=12.0):
         total = max(4.0, 0.6 * sat_rps)
         rates = tuple(round(total * w / 9.0, 1) for w in (4, 2, 2, 1))
         lat_lock = threading.Lock()
-        lats: list = []
+        results: list = []
 
         def client(rate):
             my = []
@@ -1130,12 +1181,8 @@ def config26_serving(duration_s=12.0):
                 t_end = time.perf_counter() + duration_s
                 nxt = time.perf_counter()
                 while time.perf_counter() < t_end:
-                    t0 = time.perf_counter()
-                    fut = svc.submit(sid, frames[len(futs) % len(frames)])
-                    fut.add_done_callback(
-                        lambda _f, _t=t0: my.append(
-                            time.perf_counter() - _t))
-                    futs.append(fut)
+                    futs.append(
+                        svc.submit(sid, frames[len(futs) % len(frames)]))
                     nxt += period
                     dt = nxt - time.perf_counter()
                     if dt > 0:
@@ -1145,11 +1192,11 @@ def config26_serving(duration_s=12.0):
                 # requests are exactly the p99/SLA tail — dropping them
                 # would make the latency rows systematically optimistic
                 for f in futs:
-                    f.result(timeout=300)
+                    my.append(f.result(timeout=300))
             except Exception as e:  # noqa: BLE001
                 errors.append(f"paced: {e!r}")
             with lat_lock:
-                lats.extend(my)
+                results.extend(my)
 
         t0 = time.perf_counter()
         threads = [threading.Thread(target=client, args=(r,))
@@ -1160,25 +1207,53 @@ def config26_serving(duration_s=12.0):
             t.join()
         svc.wait_idle()
         wall = time.perf_counter() - t0
-        lat_ms = sorted(v * 1e3 for v in lats)
-        n = len(lat_ms)
-        p50 = lat_ms[n // 2] if n else float("nan")
-        p99 = lat_ms[min(int(n * 0.99), n - 1)] if n else float("nan")
-        adherence = sum(1 for v in lat_ms if v <= sla_ms) / max(n, 1)
+        stats = dict(svc.stats)
     finally:
         svc.shutdown()
 
-    _emit("26_serving_multitenant", round(sat_rps, 1), unit="req_per_s",
+    n = len(results)
+    wall_ms = sorted((r.resolve_ts - r.arrival_ts) * 1e3 for r in results)
+    queue_ms = sorted((r.dispatch_ts - r.arrival_ts) * 1e3
+                      for r in results)
+    rpc_ms = sorted((r.resolve_ts - r.dispatch_ts) * 1e3 for r in results)
+
+    def _pct(xs, q):
+        return xs[min(int(len(xs) * q), len(xs) - 1)] if xs else float("nan")
+
+    # compute-time SLA: the scheduler's measured queue wait + the
+    # measured device dispatch cost — everything a PCIe host would pay
+    compute_lat_ms = [qw + dispatch_device_ms for qw in queue_ms]
+    adherence = (sum(1 for v in compute_lat_ms if v <= sla_ms)
+                 / max(n, 1))
+    wall_adherence = (sum(1 for v in wall_ms if v <= sla_ms)
+                      / max(n, 1))
+
+    _emit("26_serving_multitenant", round(device_req_per_s, 1),
+          unit="req_per_s_device",
+          dispatch_device_ms=round(dispatch_device_ms, 2),
+          sat_req_per_s=round(sat_rps, 1),
           paced_req_per_s=round(n / wall, 1),
-          paced_p50_ms=round(p50, 1), paced_p99_ms=round(p99, 1),
-          sla_ms=sla_ms, sla_adherence=round(adherence, 3),
+          sla_ms=sla_ms,
+          sla_adherence_compute=round(adherence, 3),
+          sla_adherence_wall=round(wall_adherence, 3),
+          queue_wait_p50_ms=round(_pct(queue_ms, 0.5), 1),
+          queue_wait_p99_ms=round(_pct(queue_ms, 0.99), 1),
+          compute_p50_ms=round(_pct(sorted(compute_lat_ms), 0.5), 1),
+          compute_p99_ms=round(_pct(sorted(compute_lat_ms), 0.99), 1),
+          paced_p50_ms=round(_pct(wall_ms, 0.5), 1),
+          paced_p99_ms=round(_pct(wall_ms, 0.99), 1),
+          tunnel_rpc_p50_ms=round(_pct(rpc_ms, 0.5), 1),
           streams=4, rates_fps=list(rates),
+          scheduler_stats=stats,
           errors=errors or None,
-          note="saturation = 4 closed-loop clients, window 8; paced = "
-               "4:2:2:1 tenants at 60% of measured saturation; both "
-               "phases pay the tunnel's ~70 ms dispatch RTT per chunk "
-               "(compute ~3 ms, config 8) — PCIe hosts clear the same "
-               "SLA at far higher rates")
+          note="req_per_s_device + dispatch_device_ms are MEASURED device "
+               "time of the exact serving program (axon-safe chained "
+               "dispatches, one fetch) — not a projection. "
+               "sla_adherence_compute scores measured queue wait + "
+               "measured device dispatch vs the 250 ms SLA (what a PCIe "
+               "host pays); the tunnel's per-chunk RPC (absent on PCIe) "
+               "is quoted in tunnel_rpc_p50_ms and dominates the wall "
+               "rows on this dev runtime")
 
 
 def config27_int8_reid(frames_n=288):

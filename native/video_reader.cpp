@@ -2,13 +2,25 @@
 //
 // The reference decodes synchronously with Python cv2.VideoCapture.read()
 // in its hot loop (reference src/aicamera_tracker.py:169-170). This is the
-// tpu-native replacement: decode runs on a dedicated C++ thread (no GIL)
-// into a bounded ring of BGR frames, and the consumer drains whole chunks
+// tpu-native replacement: decode runs on C++ threads (no GIL) into a
+// bounded in-order frame window, and the consumer drains whole chunks
 // with ONE ctypes call per K frames (one Python crossing per device
 // dispatch instead of K), overlapping host decode with device compute.
 //
+// Seekable files decode SEGMENT-PARALLEL: the frame range is pre-indexed
+// into N contiguous segments, each decoded by its own worker (own
+// VideoCapture, one keyframe seek per worker), merged in strict frame
+// order through a shared reorder window with memory-bounded backpressure
+// (a worker may run at most `ring_frames` frames ahead of the consumer).
+// Single-thread decode measured ~226 FPS on the 540p reference clip —
+// below the 400 FPS/chip compute north star — so decode parallelism is
+// what keeps a PCIe host's end-to-end min(decode, compute) above it.
+// Webcams and streams without a frame count fall back to one worker.
+//
 // C API (ctypes-friendly, see aicamera_tpu/native/__init__.py):
-//   vr_open(path, webcam_id, ring_frames, max_frames) -> handle | NULL
+//   vr_open(path, webcam_id, ring_frames, max_frames, n_threads) ->
+//       handle | NULL   (n_threads <= 1, webcam, or unknown frame count
+//                        => single sequential decoder)
 //   vr_info(handle, &w, &h, &fps, &count)
 //   vr_read(handle, dst, max) -> frames copied (blocks until max or EOF)
 //   vr_close(handle)
@@ -18,60 +30,166 @@
 #include <opencv2/videoio.hpp>
 
 #include <atomic>
+#include <climits>
 #include <condition_variable>
 #include <cstring>
-#include <deque>
 #include <mutex>
 #include <thread>
+#include <vector>
 
 namespace {
 
+constexpr long long kNoGap = LLONG_MAX;
+constexpr int kMinSegmentFrames = 48;  // don't spawn workers for scraps
+
 struct NativeVideoReader {
-  cv::VideoCapture cap;
+  std::string path;
+  cv::VideoCapture cap;  // probe handle; also the single-thread decoder
   int w = 0, h = 0;
   double fps = 0.0;
   long long count = 0;
 
-  int ring_cap = 64;
-  long long max_frames = -1;  // -1 = unlimited
-  std::deque<cv::Mat> ring;
+  // In-order reorder window: slot i % window_cap holds frame i. A frame
+  // may be written only when its index is < next_out + window_cap, which
+  // also guarantees its slot has been drained (i - window_cap < next_out).
+  int window_cap = 64;
+  std::vector<cv::Mat> slots;
+  std::vector<uint8_t> filled;  // bool per slot
+  long long next_out = 0;       // next frame index the consumer pops
+  long long total = -1;         // frames this reader will produce (-1 open)
+  long long gap_at = kNoGap;    // earliest decode failure => stream end
+
   std::mutex mu;
   std::condition_variable cv_pop;   // consumer waits for frames/EOF
-  std::condition_variable cv_push;  // decoder waits for ring space
+  std::condition_variable cv_push;  // workers wait for window space
   std::atomic<bool> stop{false};
-  bool eof = false;
-  std::thread th;
+  int live_workers = 0;
+  std::vector<std::thread> threads;
 
-  void decode_loop() {
-    long long n = 0;
-    for (;;) {
-      if (stop.load() || (max_frames >= 0 && n >= max_frames)) break;
+  bool fix_frame(cv::Mat& m) {
+    if (m.type() != CV_8UC3) return false;  // unsupported pixel format
+    if (m.cols != w || m.rows != h) {
+      // defensive: mid-stream geometry change (corrupt containers)
+      cv::Mat fixed;
+      cv::resize(m, fixed, cv::Size(w, h));
+      m = fixed;
+    }
+    if (!m.isContinuous()) m = m.clone();
+    return true;
+  }
+
+  // Deposit frame `i`; returns false when shutting down.
+  bool put(long long i, cv::Mat&& m) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_push.wait(lk, [&] {
+      return stop.load() || i < next_out + window_cap || i >= gap_at;
+    });
+    if (stop.load() || i >= gap_at) return false;
+    slots[i % window_cap] = std::move(m);
+    filled[i % window_cap] = 1;
+    lk.unlock();
+    cv_pop.notify_all();
+    return true;
+  }
+
+  void mark_gap(long long i) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      if (i < gap_at) gap_at = i;
+    }
+    cv_pop.notify_all();
+    cv_push.notify_all();  // workers past the gap stop waiting for space
+  }
+
+  void worker_done() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      --live_workers;
+    }
+    cv_pop.notify_all();
+  }
+
+  // Sequential decode of [start, end) on an already-positioned capture.
+  void decode_range(cv::VideoCapture& c, long long start, long long end) {
+    for (long long i = start; i < end && !stop.load(); ++i) {
       cv::Mat m;
-      if (!cap.read(m) || m.empty()) break;
-      if (m.type() != CV_8UC3) break;  // unsupported pixel format
-      if (m.cols != w || m.rows != h) {
-        // defensive: mid-stream geometry change (corrupt containers)
-        cv::Mat fixed;
-        cv::resize(m, fixed, cv::Size(w, h));
-        m = fixed;
+      if (!c.read(m) || m.empty() || !fix_frame(m)) {
+        mark_gap(i);
+        break;
       }
-      if (!m.isContinuous()) m = m.clone();
-      {
-        std::unique_lock<std::mutex> lk(mu);
-        cv_push.wait(lk, [&] {
-          return stop.load() || static_cast<int>(ring.size()) < ring_cap;
-        });
-        if (stop.load()) break;
-        ring.push_back(std::move(m));
+      if (!put(i, std::move(m))) break;
+    }
+    worker_done();
+  }
+
+  // Segment worker: own capture, one seek, then sequential.
+  void decode_segment(long long start, long long end) {
+    cv::VideoCapture c(path);
+    bool ok = c.isOpened();
+    if (ok && start > 0) {
+      bool sought =
+          c.set(cv::CAP_PROP_POS_FRAMES, static_cast<double>(start)) &&
+          static_cast<long long>(c.get(cv::CAP_PROP_POS_FRAMES)) == start;
+      if (!sought) {
+        // container refuses frame-accurate seek: decode-skip forward
+        // (grab() decodes without the retrieve/convert cost) so the
+        // stream is still delivered complete rather than truncated
+        c.release();
+        ok = c.open(path);
+        for (long long j = 0; ok && j < start && !stop.load(); ++j) {
+          ok = c.grab();
+        }
       }
-      cv_pop.notify_one();
-      ++n;
+    }
+    if (!ok) {
+      mark_gap(start);
+      worker_done();
+      return;
+    }
+    decode_range(c, start, end);
+    c.release();
+  }
+
+  // Unbounded sequential decode (webcam / unknown count): frame indices
+  // increment as decoded; EOF closes `total`.
+  void decode_stream(long long limit) {
+    long long i = 0;
+    for (; (limit < 0 || i < limit) && !stop.load(); ++i) {
+      cv::Mat m;
+      if (!cap.read(m) || m.empty() || !fix_frame(m)) break;
+      if (!put(i, std::move(m))) break;
     }
     {
       std::lock_guard<std::mutex> lk(mu);
-      eof = true;
+      total = i;  // actual stream length now known
     }
-    cv_pop.notify_all();
+    worker_done();
+  }
+
+  void start_workers(long long n_frames, int n_threads) {
+    window_cap = std::max(window_cap, 2 * n_threads);
+    slots.resize(window_cap);
+    filled.assign(window_cap, 0);
+    if (n_frames < 0 || n_threads <= 1) {
+      // sequential mode on the probe capture (already at frame 0)
+      total = n_frames;  // -1 = open-ended
+      live_workers = 1;
+      threads.emplace_back(&NativeVideoReader::decode_stream, this,
+                           n_frames);
+      return;
+    }
+    total = n_frames;
+    long long per = (n_frames + n_threads - 1) / n_threads;
+    per = std::max<long long>(per, kMinSegmentFrames);
+    cap.release();  // workers open their own captures
+    long long start = 0;
+    while (start < n_frames) {
+      long long end = std::min(start + per, n_frames);
+      ++live_workers;
+      threads.emplace_back(&NativeVideoReader::decode_segment, this, start,
+                           end);
+      start = end;
+    }
   }
 };
 
@@ -80,14 +198,15 @@ struct NativeVideoReader {
 extern "C" {
 
 void* vr_open(const char* path, int webcam_id, int ring_frames,
-              long long max_frames) {
+              long long max_frames, int n_threads) {
   auto* r = new NativeVideoReader();
-  const bool ok = (webcam_id >= 0) ? r->cap.open(webcam_id)
-                                   : r->cap.open(path);
+  const bool is_webcam = webcam_id >= 0;
+  const bool ok = is_webcam ? r->cap.open(webcam_id) : r->cap.open(path);
   if (!ok || !r->cap.isOpened()) {
     delete r;
     return nullptr;
   }
+  r->path = path ? path : "";
   r->w = static_cast<int>(r->cap.get(cv::CAP_PROP_FRAME_WIDTH));
   r->h = static_cast<int>(r->cap.get(cv::CAP_PROP_FRAME_HEIGHT));
   r->fps = r->cap.get(cv::CAP_PROP_FPS);
@@ -96,9 +215,27 @@ void* vr_open(const char* path, int webcam_id, int ring_frames,
     delete r;
     return nullptr;
   }
-  if (ring_frames > 0) r->ring_cap = ring_frames;
-  r->max_frames = max_frames;
-  r->th = std::thread(&NativeVideoReader::decode_loop, r);
+  if (ring_frames > 0) r->window_cap = ring_frames;
+
+  // Parallel segment decode needs a trustworthy frame count and a
+  // seekable source; otherwise fall back to one sequential worker.
+  long long n_frames = -1;
+  if (!is_webcam && r->count > 0) {
+    n_frames = (max_frames >= 0) ? std::min(max_frames, r->count)
+                                 : r->count;
+  } else if (max_frames >= 0) {
+    n_frames = max_frames;  // bounded but count unknown: sequential
+    n_threads = 1;
+  }
+  if (is_webcam || n_frames < 0) n_threads = 1;
+  if (n_threads < 1) n_threads = 1;
+  if (n_frames > 0) {
+    const long long max_useful =
+        (n_frames + kMinSegmentFrames - 1) / kMinSegmentFrames;
+    n_threads = static_cast<int>(
+        std::min<long long>(n_threads, std::max<long long>(max_useful, 1)));
+  }
+  r->start_workers(n_frames, n_threads);
   return r;
 }
 
@@ -112,12 +249,12 @@ int vr_info(void* handle, int* w, int* h, double* fps, long long* count) {
   return 0;
 }
 
-// Copy up to `max` decoded frames into dst (contiguous h*w*3 u8 each).
-// Blocks until `max` frames have been copied or the stream ends, draining
-// the ring incrementally (so the decoder refills while the consumer
-// copies, and `max` larger than the ring capacity cannot deadlock);
-// returns the number copied (0 = EOF, -1 = error). A partial return
-// (< max, > 0) therefore only happens at end of stream.
+// Copy up to `max` decoded frames into dst (contiguous h*w*3 u8 each),
+// strictly in source order. Blocks until `max` frames have been copied or
+// the stream ends, draining the window incrementally (workers refill
+// while the consumer copies, and `max` larger than the window capacity
+// cannot deadlock); returns the number copied (0 = EOF, -1 = error). A
+// partial return (< max, > 0) therefore only happens at end of stream.
 int vr_read(void* handle, unsigned char* dst, int max) {
   auto* r = static_cast<NativeVideoReader*>(handle);
   if (!r || max <= 0 || !dst) return -1;
@@ -126,18 +263,35 @@ int vr_read(void* handle, unsigned char* dst, int max) {
   int got = 0;
   std::unique_lock<std::mutex> lk(r->mu);
   while (got < max) {
-    r->cv_pop.wait(lk, [&] { return !r->ring.empty() || r->eof; });
-    if (r->ring.empty()) break;  // eof and fully drained
-    while (got < max && !r->ring.empty()) {
-      cv::Mat m = std::move(r->ring.front());
-      r->ring.pop_front();
-      r->cv_push.notify_one();
+    r->cv_pop.wait(lk, [&] {
+      return r->stop.load() || r->filled[r->next_out % r->window_cap] ||
+             r->next_out >= r->gap_at ||
+             (r->total >= 0 && r->next_out >= r->total) ||
+             r->live_workers == 0;
+    });
+    if (r->stop.load()) break;
+    // drain every in-order frame currently available
+    while (got < max && r->next_out < r->gap_at &&
+           (r->total < 0 || r->next_out < r->total) &&
+           r->filled[r->next_out % r->window_cap]) {
+      const long long idx = r->next_out % r->window_cap;
+      cv::Mat m = std::move(r->slots[idx]);
+      r->filled[idx] = 0;
+      ++r->next_out;
+      r->cv_push.notify_all();
       lk.unlock();
       std::memcpy(dst + static_cast<size_t>(got) * frame_bytes, m.data,
                   frame_bytes);
       ++got;
       lk.lock();
     }
+    if (got >= max) break;
+    const bool ended =
+        r->next_out >= r->gap_at ||
+        (r->total >= 0 && r->next_out >= r->total) ||
+        (r->live_workers == 0 &&
+         !r->filled[r->next_out % r->window_cap]);
+    if (ended) break;
   }
   return got;
 }
@@ -148,7 +302,9 @@ void vr_close(void* handle) {
   r->stop.store(true);
   r->cv_push.notify_all();
   r->cv_pop.notify_all();
-  if (r->th.joinable()) r->th.join();
+  for (auto& t : r->threads) {
+    if (t.joinable()) t.join();
+  }
   r->cap.release();
   delete r;
 }

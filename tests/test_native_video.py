@@ -104,6 +104,72 @@ def test_release_mid_stream_joins_cleanly():
     r.release()   # decode thread blocked on a full ring must unblock
     r.release()   # idempotent
 
+def test_parallel_decode_bitwise_matches_sequential():
+    """Segment-parallel decode (4 workers, one keyframe seek each,
+    in-order reorder window) must reproduce the sequential stream
+    bitwise over the whole clip — this also proves ffmpeg's
+    CAP_PROP_POS_FRAMES seek is frame-accurate on the reference asset."""
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+
+    def read_all(nt):
+        r = NativeVideoReader(CLIP, n_threads=nt)
+        try:
+            out = []
+            while True:
+                c = r.read_chunk(96)
+                if len(c) == 0:
+                    break
+                out.append(c.copy())
+        finally:
+            r.release()
+        return np.concatenate(out)
+
+    seq = read_all(1)
+    par = read_all(4)
+    assert par.shape == seq.shape
+    np.testing.assert_array_equal(par, seq)
+
+
+def test_parallel_decode_respects_max_frames():
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    want = np.stack(_cv2_frames(200))
+    r = NativeVideoReader(CLIP, max_frames=200, n_threads=3)
+    try:
+        got = []
+        while True:
+            c = r.read_chunk(64)
+            if len(c) == 0:
+                break
+            got.append(c.copy())
+        got = np.concatenate(got)
+        # EOF is sticky
+        assert len(r.read_chunk(8)) == 0
+    finally:
+        r.release()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_parallel_decode_tight_window_backpressure():
+    """A reorder window smaller than the segment span forces later
+    workers to block for space; order and content must still be exact."""
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    want = np.stack(_cv2_frames(96))
+    r = NativeVideoReader(CLIP, queue_depth=8, max_frames=96, n_threads=4)
+    try:
+        got = r.read_chunk(96)
+    finally:
+        r.release()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_parallel_release_mid_stream_joins_cleanly():
+    from aicamera_tpu.utils.video_io import NativeVideoReader
+    r = NativeVideoReader(CLIP, n_threads=4, queue_depth=16)
+    r.read_chunk(8)
+    r.release()   # workers blocked on window space must unblock and join
+    r.release()   # idempotent
+
+
 def test_chunk_larger_than_ring_drains_incrementally():
     """read_chunk(k) with k > queue_depth must not deadlock: vr_read
     drains the ring while the decoder refills (a chunk-96 pipeline over
