@@ -1081,6 +1081,9 @@ def config26_serving(duration_s=12.0):
     from aicamera_tpu.serving import MultiTenantTrackingService
     from scripts.axon_timing import fold_outputs
 
+    def _mark(msg):
+        print(f"[config26] {msg}", file=sys.stderr, flush=True)
+
     frames = _load_clip(32)
     hw = frames.shape[1:3]
     sla_ms = 250.0
@@ -1090,10 +1093,12 @@ def config26_serving(duration_s=12.0):
     errors: list = []
     try:
         # warm the fused step (compile happens on the first dispatch)
+        _mark("warming fused step (first dispatch compiles)...")
         sid = svc.open_stream()
         svc.submit(sid, frames[0]).result(timeout=600)
         svc.close_stream(sid)
         svc.wait_idle()
+        _mark("warm done")
 
         # --- phase 0: measured device time of the serving dispatch -------
         pipe = svc.pipeline
@@ -1127,6 +1132,7 @@ def config26_serving(duration_s=12.0):
         t_dispatch = (time.perf_counter() - t0) / len(staged[2:])
         dispatch_device_ms = t_dispatch * 1e3
         device_req_per_s = n_streams * k / t_dispatch
+        _mark(f"phase 0 done: {dispatch_device_ms:.2f} ms/dispatch")
         # hand the (donated-through) states back to the service; every
         # open_stream resets its slot before first use anyway
         pipe.states = states
@@ -1164,6 +1170,7 @@ def config26_serving(duration_s=12.0):
         for t in sat_threads:
             t.join()
         sat_rps = sum(done) / (time.perf_counter() - t0)
+        _mark(f"saturation done: {sat_rps:.1f} req/s")
         svc.wait_idle()
 
         # --- phase 2: paced tenants at ~60% of capacity ------------------

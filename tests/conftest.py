@@ -54,3 +54,34 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 # standalone run of the module passes. Process isolation runs it in the
 # configuration that has always been clean.
 collect_ignore = ["test_scan_bucket_impl.py"]
+
+
+# --- fast/slow tier split (VERDICT r3 #7) ---------------------------------
+# Default `pytest -q` runs the fast tier; `--slow` adds the slow tier
+# (compile-heavy >60s items: the isolated scan-bucket subprocess suite,
+# the 16-device dryrun, trained-weights int8 A/Bs, the clip-parity
+# window, service race/load tests). CI runs BOTH tiers — nothing is
+# deleted, only deferred. See README "Running the tests".
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run the slow tier (>60s compile-heavy tests)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: slow tier (>60s); run with --slow (CI runs it)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: pass --slow (CI runs both tiers)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

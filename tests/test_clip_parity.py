@@ -56,6 +56,7 @@ def _load_window():
     return frames, dets
 
 
+@pytest.mark.slow
 def test_clip_window_matches_reference_core():
     import sys
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))

@@ -9,6 +9,7 @@ count. The driver keeps invoking the 8-device case directly.
 """
 
 import os
+import pytest
 import subprocess
 import sys
 from pathlib import Path
@@ -16,6 +17,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_16_devices():
     env = dict(os.environ)
     # child must not inherit the conftest's 8-device XLA_FLAGS

@@ -258,6 +258,7 @@ def test_tracking_service_async_serving():
     svc.shutdown()  # idempotent
 
 
+@pytest.mark.slow
 def test_tracking_service_shutdown_submit_race():
     """Submits racing shutdown() must never yield a silent, never-resolving
     Future: every Future either resolves or submit raised RuntimeError."""

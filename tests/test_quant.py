@@ -60,6 +60,7 @@ def test_quantized_tree_mirrors_reid_net():
 
 @pytest.mark.skipif(not REID_WEIGHTS.exists(),
                     reason="trained ReID checkpoint not present")
+@pytest.mark.slow
 def test_int8_embeddings_agree_with_f32_on_trained_weights():
     """The int8 net's embeddings must be near-duplicates of the f32
     net's: per-crop cosine similarity >= 0.99 (i.e. cosine distance
@@ -78,6 +79,7 @@ def test_int8_embeddings_agree_with_f32_on_trained_weights():
 
 @pytest.mark.skipif(not REID_WEIGHTS.exists(),
                     reason="trained ReID checkpoint not present")
+@pytest.mark.slow
 def test_int8_preserves_pairwise_cosine_distances():
     """What the tracker actually consumes is pairwise cosine distance
     (core/costs.py): int8 must not move any pair across the gate by
@@ -106,6 +108,7 @@ def test_reid_model_facade_int8():
         ReIDModel(quant="fp4")
 
 
+@pytest.mark.slow
 def test_pipeline_reid_quant_surface():
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     with pytest.raises(ValueError, match="reid_quant"):
@@ -121,6 +124,7 @@ def test_pipeline_reid_quant_surface():
     assert len(results) == 2
 
 
+@pytest.mark.slow
 def test_multistream_reid_quant_surface():
     """MultiStreamPipeline(reid_quant='int8'): the quantized embed stage
     runs under vmap across streams; identical frames on both streams

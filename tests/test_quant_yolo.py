@@ -79,6 +79,7 @@ def test_build_requires_then_binds_scales():
 
 @pytest.mark.skipif(not WEIGHTS.exists(),
                     reason="synthetic checkpoint not trained")
+@pytest.mark.slow
 def test_trained_detections_survive_quantization():
     """With the trained checkpoint, the int8 pipeline must detect the
     same synthetic objects as the bf16 one: scoring int8 detections

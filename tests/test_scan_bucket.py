@@ -11,6 +11,7 @@ process per suite run keeps the whole suite green without giving up any
 coverage; the child's output is attached on failure.
 """
 
+import pytest
 import subprocess
 import sys
 from pathlib import Path
@@ -18,6 +19,7 @@ from pathlib import Path
 IMPL = Path(__file__).with_name("test_scan_bucket_impl.py")
 
 
+@pytest.mark.slow
 def test_scan_bucket_suite_isolated():
     r = subprocess.run(
         [sys.executable, "-m", "pytest", str(IMPL), "-q",
