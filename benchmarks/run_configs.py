@@ -28,6 +28,7 @@
  26. Multi-tenant serving: mixed-rate tenants + closed-loop saturation
  27. Int8 (W8A8) ReID A/B: raw crops/s, worst-case FPS, quality gates
  28. Int8 static-calibrated detector A/B: raw fwd, clip FPS, AP50 gate
+ 29. Crowd-scale quality: ~72 live identities, MOT/HOTA at 192 slots
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all [--out results.jsonl]
@@ -1084,6 +1085,27 @@ def config26_serving(duration_s=12.0):
     def _mark(msg):
         print(f"[config26] {msg}", file=sys.stderr, flush=True)
 
+    # The tunnel's RPC round trip swings 70 ms (healthy) to ~2.7 s
+    # (degraded) — every wall/queue number below is meaningless in a
+    # degraded window because the dispatch LOOP serializes behind the
+    # RPC. Probe and idle until healthy (same defense as bench.py);
+    # record the probe in the row.
+    jax.device_get(jnp.zeros((64,), jnp.float32))
+    probe = None
+    for attempt in range(5):
+        xs = []
+        for i in range(3):
+            x = jnp.asarray(np.full((64,), attempt * 3 + i + 1.0,
+                                    np.float32))
+            t0 = time.perf_counter()
+            jax.device_get(x)
+            xs.append((time.perf_counter() - t0) * 1e3)
+        probe = sorted(xs)[1]
+        if probe < 250.0:
+            break
+        _mark(f"tunnel degraded (probe {probe:.0f} ms) — idling 60s")
+        time.sleep(60)
+
     frames = _load_clip(32)
     hw = frames.shape[1:3]
     sla_ms = 250.0
@@ -1252,6 +1274,7 @@ def config26_serving(duration_s=12.0):
           tunnel_rpc_p50_ms=round(_pct(rpc_ms, 0.5), 1),
           streams=4, rates_fps=list(rates),
           scheduler_stats=stats,
+          tunnel_probe_ms=round(probe, 1),
           errors=errors or None,
           note="req_per_s_device + dispatch_device_ms are MEASURED device "
                "time of the exact serving program (axon-safe chained "
@@ -1399,6 +1422,91 @@ def config28_int8_yolo(frames_n=500):
                "of bf16 on the trained synthetic workload")
 
 
+def config29_crowd_quality(frames_n=192, score_frames=144):
+    """Crowd-scale QUALITY benchmark (VERDICT r3 #4): ~72 concurrent
+    identities per frame (96-slot world, presence 0.75) with natural
+    crossings and z-order occlusions, tracked at 192-slot capacity with
+    a 100-detection slate and a 64-crop ReID bucket — MOT/HOTA/IDSW
+    columns at >= 64 live tracks for DeepSORT AND ByteTrack, where the
+    capacity paths previously had perf-only rows (configs 5/7). The
+    192-slot table with scan_bucket=32 exercises the bucketed scan's
+    high-slot skip and mid-chunk overflow fallbacks UNDER SCORING.
+
+    Needs the crowd fine-tuned detector
+    (``scripts/train_synthetic.py --crowd``): the base checkpoint's
+    ~12-object training density finds only ~20% of a 96-object crowd."""
+    import numpy as np
+    from aicamera_tpu import config as cfg
+    from aicamera_tpu.core.state import TrackerParams
+    from aicamera_tpu.core.bytetrack import ByteTrackParams
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+
+    root = Path(__file__).resolve().parent.parent
+    crowd_w = root / "models" / "detection" / \
+        "yolov8n_synthetic_crowd.msgpack"
+    reid_w = root / "models" / "reid" / "deepsort_reid_synthetic.msgpack"
+    if not crowd_w.exists():
+        print(json.dumps({"config": "29_crowd_quality", "value": None,
+                          "note": "crowd checkpoint missing — run "
+                                  "scripts/train_synthetic.py --crowd"}))
+        return
+
+    spec = WorldSpec(max_objects=96, presence=0.75)
+    world = TemporalWorld(spec, seed=11, speed=3.0)
+    frames, gt = [], []
+    for _ in range(frames_n):
+        f, b, ids, cls, v = world.step()
+        frames.append(f)
+        gt.append((b[v], ids[v]))
+    arr = np.stack(frames)
+    gt_live = [len(b) for b, _ in gt]
+
+    from aicamera_tpu.eval import evaluate_hota, evaluate_mot
+    for name, kwargs in (
+            ("deepsort",
+             {"tracker_params": TrackerParams(
+                 max_tracks=192, max_detections=100,
+                 feature_dim=cfg.REID_FEATURE_DIM),
+              "reid_weights": str(reid_w) if reid_w.exists() else None,
+              "max_reid_crops": 64}),
+            ("bytetrack",
+             {"tracker": "bytetrack",
+              "bytetrack_params": ByteTrackParams(
+                  max_tracks=192, max_detections=100)})):
+        pipe = TrackingPipeline(chunk_size=48, yolo_weights=str(crowd_w),
+                                **kwargs)
+        runs, n = _timed_run(pipe, arr, k=48)
+
+        # quality replay: host-facing path, scored vs exact ground truth
+        pipe.reset()
+        hyp = []
+        for res in pipe.process_frames(iter(list(arr[:score_frames]))):
+            if res.tracks:
+                hyp.append((np.asarray([t[:4] for t in res.tracks],
+                                       np.float32),
+                            np.asarray([t[4] for t in res.tracks],
+                                       np.int64)))
+            else:
+                hyp.append((np.zeros((0, 4), np.float32),
+                            np.zeros((0,), np.int64)))
+        live = [len(h[1]) for h in hyp[5:]]
+        mot = evaluate_mot(gt[5:score_frames], hyp[5:score_frames])
+        hota = evaluate_hota(gt[5:score_frames], hyp[5:score_frames])
+        _emit(f"29_crowd_quality_{name}", runs[1], frames=n,
+              method="median_of_3",
+              mota=round(mot.mota, 3), motp=round(mot.motp, 3),
+              id_switches=mot.id_switches, hota=round(hota.hota, 3),
+              ass_a=round(hota.ass_a, 3),
+              live_tracks_mean=round(float(np.mean(live)), 1),
+              live_tracks_max=int(np.max(live)),
+              gt_visible_mean=round(float(np.mean(gt_live)), 1),
+              track_slots=192, det_slate=100,
+              note="96-slot crowd world; bucketed-scan overflow paths "
+                   "active (scan_bucket 32 << live tracks); DeepSORT "
+                   "embeds a 64-crop bucket per frame")
+
+
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            3: config3_full_tracking, 4: config4_multistream,
            5: config5_yolov8m_1080p, 6: config6_streaming_e2e,
@@ -1413,7 +1521,7 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            23: config23_strongsort_trained,
            24: config24_deepocsort_trained, 25: config25_tiled_4k,
            26: config26_serving, 27: config27_int8_reid,
-           28: config28_int8_yolo}
+           28: config28_int8_yolo, 29: config29_crowd_quality}
 
 
 def main():

@@ -25,6 +25,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 DEFAULT_OUT = Path(__file__).resolve().parent.parent / \
     "models" / "detection" / "yolov8n_synthetic.msgpack"
+CROWD_OUT = DEFAULT_OUT.with_name("yolov8n_synthetic_crowd.msgpack")
+
+
+def _crowd_world():
+    from aicamera_tpu.synthetic import WorldSpec
+    return WorldSpec(max_objects=96, presence=0.75)
 
 
 def evaluate(model, params, world, input_hw, n_scenes=48, conf=0.3,
@@ -152,6 +158,16 @@ def main():
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--min-prec", type=float, default=0.85)
     ap.add_argument("--min-rec", type=float, default=0.85)
+    ap.add_argument("--crowd", action="store_true",
+                    help="fine-tune a CROWD-density detector (96-slot "
+                         "world, ~72 visible objects/scene with heavy "
+                         "z-order occlusion) warm-started from the base "
+                         "synthetic checkpoint; saves to "
+                         "yolov8n_synthetic_crowd.msgpack. The base "
+                         "checkpoint's ~12-object training density only "
+                         "finds ~20% of a 96-object crowd (measured) — "
+                         "density is out-of-distribution, so benchmark "
+                         "config 29 needs this checkpoint.")
     args = ap.parse_args()
 
     import jax
@@ -166,6 +182,24 @@ def main():
     world = WorldSpec()
     input_hw = (640, 640)
     out = Path(args.out)
+    if args.crowd:
+        world = _crowd_world()
+        if args.out == str(DEFAULT_OUT):
+            out = CROWD_OUT
+        # crowd fine-tune defaults: fewer steps, gentler LR (warm start),
+        # smaller batch (the 96-slot renderer's (N, H, W) ownership masks
+        # are 8x the default world's memory)
+        if args.steps is None:
+            args.steps = 2000
+        if args.lr is None:
+            args.lr = 5e-4
+        if args.batch is None:
+            args.batch = 4
+        # occlusion-heavy scenes cap attainable recall well below the
+        # sparse world's: ~30% of visible-box area is covered by a
+        # later-z object on average
+        if args.min_rec == 0.85:
+            args.min_rec = 0.6
     print(f"backend={jax.default_backend()}")
 
     if args.reid:
@@ -219,9 +253,15 @@ def main():
             batch=args.batch if args.batch is not None else base.batch,
             scan=args.scan if args.scan is not None else base.scan,
             lr=args.lr if args.lr is not None else base.lr)
+        init_params = None
+        if args.crowd and DEFAULT_OUT.exists():
+            from aicamera_tpu.runtime.params import resolve_yolo_params
+            print(f"warm-starting from {DEFAULT_OUT.name}")
+            _, init_params = resolve_yolo_params(
+                "n", weights_path=str(DEFAULT_OUT))
         t0 = time.time()
         model, params = train_detector(world=world, input_hw=input_hw,
-                                       cfg=cfg)
+                                       cfg=cfg, params=init_params)
         print(f"trained {cfg.steps} steps in {time.time() - t0:.0f}s")
 
     prec, rec, tp, fp, fn, ap = evaluate(model, params, world, input_hw)
