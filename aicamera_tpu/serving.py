@@ -199,15 +199,17 @@ class MultiTenantTrackingService:
     every other tenant's queued frames ride the same fused program);
     under headroom, an EWMA arrival-rate estimate detects that no
     batch-mates are expected inside the deadline budget and dispatches
-    the lone frame at once instead of burning its SLA waiting. The
-    pipelined one-behind chunk resolves the moment the worker would
-    otherwise sleep (deferred only on the saturated path, where
-    dispatching N+1 before resolving N buys gather/compute overlap).
-    Dispatches stay
-    async end-to-end (``copy_to_host_async`` + deferred ``device_get``,
-    the discipline of the reference's engine wrapper — reference
-    trt_utils/trt_engine.py:151-203 executes async on the caller's
-    stream with no internal sync).
+    the lone frame at once instead of burning its SLA waiting.
+
+    Dispatch and readback are decoupled across two threads: the dispatch
+    loop only gathers and enqueues fused device programs (async,
+    ``copy_to_host_async`` — the discipline of the reference's engine
+    wrapper, trt_utils/trt_engine.py:151-203: execute async on the
+    caller's stream, no internal sync), while a resolver thread performs
+    the blocking ``device_get``s FIFO. A slow readback RPC therefore
+    never serializes the scheduling loop — queue waits stay bounded by
+    the dispatch cadence, not the readback latency — with at most
+    ``max_inflight`` unresolved chunks as backpressure.
 
     Slots are leased: :meth:`close_stream` drains the tenant's queued
     frames and frees the slot; the next :meth:`open_stream` re-leases it
@@ -221,6 +223,7 @@ class MultiTenantTrackingService:
                  chunk_size: int = 4,
                  max_latency_ms: float = 30.0,
                  sla_margin_ms: float = 5.0,
+                 max_inflight: int = 4,
                  pipeline=None, **pipeline_kwargs):
         if pipeline is None:
             from .parallel import MultiStreamPipeline
@@ -234,6 +237,16 @@ class MultiTenantTrackingService:
         self.sla_margin = sla_margin_ms / 1e3
         self._slots = [_StreamSlot() for _ in range(self.n_streams)]
         self._outstanding = 0  # submitted frames not yet resolved
+        # Dispatch/resolve decoupling: the dispatch loop never blocks on
+        # a readback — dispatched chunks are handed to a resolver thread
+        # whose device_get runs off the scheduling path (the device
+        # executes in submission order regardless; on the tunneled dev
+        # runtime this keeps a ~1s readback RPC from serializing the
+        # whole loop and inflating every queue wait). Bounded to
+        # max_inflight unresolved chunks (HBM + host-memory backpressure).
+        self._resolve_q: queue.Queue = queue.Queue(
+            maxsize=max(1, int(max_inflight)))
+        self._inflight = 0  # dispatched, not yet resolved (under _cond)
         # Scheduler estimators (EWMA, alpha 0.3). est_cycle = measured
         # dispatch->results-available seconds (the lead time a dispatch
         # needs before a deadline); est_resolve = device_get duration;
@@ -249,6 +262,9 @@ class MultiTenantTrackingService:
         self._running = True
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        self._resolver = threading.Thread(target=self._run_resolver,
+                                          daemon=True)
+        self._resolver.start()
 
     # --- client API ---------------------------------------------------------
 
@@ -323,6 +339,7 @@ class MultiTenantTrackingService:
     def _finished(self, n: int) -> None:
         with self._cond:
             self._outstanding -= n
+            self._inflight -= 1
             self._cond.notify_all()
 
     def close_stream(self, stream_id: int):
@@ -335,12 +352,15 @@ class MultiTenantTrackingService:
                 self._cond.notify()
 
     def shutdown(self, timeout: float = 60.0):
-        """Drain all queued work and stop the worker. Idempotent."""
+        """Drain all queued work and stop the workers. Idempotent."""
         with self._cond:
             if self._running:
                 self._running = False
                 self._cond.notify()
+        t0 = time.perf_counter()
         self._worker.join(timeout=timeout)
+        self._resolver.join(
+            timeout=max(0.1, timeout - (time.perf_counter() - t0)))
 
     # --- worker --------------------------------------------------------------
 
@@ -466,34 +486,30 @@ class MultiTenantTrackingService:
             self._finished(len(jobs))
 
     def _run(self):
-        inflight = None  # (outs, jobs, dispatch_ts, earliest_deadline)
+        """Dispatch loop: gathers and dispatches, never blocks on a
+        readback (the resolver thread owns device_get). The device
+        executes dispatches in submission order; bounded unresolved
+        chunks (the _resolve_q maxsize) provide backpressure."""
         while True:
             do_dispatch = False
             with self._cond:
                 now = time.perf_counter()
-                # Wait until a dispatch is due or shutdown begins. An
-                # unresolved in-flight chunk never waits: the moment the
-                # worker would otherwise sleep, it resolves the chunk
-                # (prompt results, and a free device re-enables the
-                # eager dispatch path). The one-behind deferral only
-                # applies on the saturated path — dispatch N+1 first,
-                # then resolve N — where it buys gather/compute overlap.
                 while self._running:
-                    if self._dispatch_ready(now, inflight is None):
+                    if self._dispatch_ready(now, self._inflight == 0):
                         do_dispatch = True
                         break
-                    if inflight is not None:
-                        break  # resolve the outstanding chunk below
                     self._cond.wait(timeout=self._next_wake(now))
                     now = time.perf_counter()
                 if not self._running:
                     if any(s.pending for s in self._slots):
                         do_dispatch = True  # drain
-                    elif inflight is None:
+                    else:
                         break
                 if do_dispatch:
                     frames, valid, jobs, job_dl = self._gather()
                     do_dispatch = bool(jobs)
+                    if do_dispatch:
+                        self._inflight += 1
             if do_dispatch:
                 dispatch_ts = time.perf_counter()
                 try:
@@ -508,16 +524,8 @@ class MultiTenantTrackingService:
                     continue
                 self.stats["dispatches"] += 1
                 self.stats["frames"] += len(jobs)
-                prev, inflight = inflight, (outs, jobs, dispatch_ts, job_dl)
-                if prev is not None:
-                    self._resolve(prev)
-            elif inflight is not None:
-                self._resolve(inflight)
-                inflight = None
-            elif not self._running:
-                break
-        if inflight is not None:
-            self._resolve(inflight)
+                # blocks only when max_inflight chunks are unresolved
+                self._resolve_q.put((outs, jobs, dispatch_ts, job_dl))
         # reject anything that slipped in after the drain loop exited
         with self._cond:
             for slot in self._slots:
@@ -526,3 +534,14 @@ class MultiTenantTrackingService:
                     fut.set_exception(RuntimeError("service shut down"))
                     self._outstanding -= 1
             self._cond.notify_all()
+        self._resolve_q.put(None)  # resolver drains FIFO, then stops
+
+    def _run_resolver(self):
+        """Readback loop: blocking device_gets, FIFO, off the dispatch
+        path (reference trt_engine.py:151-203 keeps infer async on the
+        caller's stream the same way — no internal sync)."""
+        while True:
+            item = self._resolve_q.get()
+            if item is None:
+                break
+            self._resolve(item)
