@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -52,16 +53,76 @@ class Bottleneck(nn.Module):
         return y
 
 
+class _Conv1x1Params(nn.Module):
+    """Parameter shell matching ``nn.Conv(features, (1,1))``'s tree
+    (kernel (1,1,Cin,Cout) + bias), so a module named "cv2" holding one
+    of these named "conv" is checkpoint-compatible with
+    ``ConvBlock(k=1, name="cv2")``."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _VirtualConcatConv(nn.Module):
+    """1x1 conv + SiLU over a VIRTUAL concat of chunks: the kernel's
+    input-channel axis is sliced per chunk and the partial matmuls are
+    summed, so the concat buffer is never materialized. Param tree
+    (<name>/conv/{kernel,bias}) mirrors ``ConvBlock(k=1)`` exactly —
+    checkpoint-compatible both ways."""
+    features: int
+    in_features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, chunks):
+        kernel, bias = _Conv1x1Params(self.features, self.in_features,
+                                      name="conv")()
+        out = bias.astype(self.dtype)
+        off = 0
+        for ch in chunks:
+            w = kernel[0, 0, off:off + ch.shape[-1], :].astype(self.dtype)
+            out = out + jax.lax.dot_general(
+                ch.astype(self.dtype), w, (((3,), (0,)), ((), ())))
+            off += ch.shape[-1]
+        return nn.silu(out)
+
+
 class C2f(nn.Module):
     """Cross-stage partial block with 2 splits and n bottlenecks.
 
     cv1 expands to 2*c hidden channels, the tensor is split in two, each
-    bottleneck chews on the latest chunk, and all chunks concat into cv2.
+    bottleneck chews on the latest chunk, and all chunks feed cv2.
+
+    ``concat_impl`` picks how the (2+n)*c-channel cv2 input is formed —
+    the fusion audit (docs/ROOFLINE.md) attributes 13% of detector
+    device time to copies dominated by these concats:
+
+    - ``"concat"``: ``jnp.concatenate`` then the 1x1 conv (baseline).
+    - ``"dus"``: chained ``lax.dynamic_update_slice`` writes into one
+      preallocated buffer (bitwise-identical math; gives XLA in-place
+      producer->buffer fusion opportunities a concat may not).
+    - ``"sum"``: no buffer at all — cv2's 1x1 conv distributes over the
+      virtual concat as a sum of per-chunk matmuls against kernel
+      slices (same params; reduction ORDER differs, so bf16 outputs
+      differ in the last bits; each partial matmul's K dim is only c,
+      which can underfill the MXU's 128 reduction lanes).
+
+    Measured on v5e (scripts/profile_c2f_concat.py) before choosing a
+    default.
     """
     features: int
     n: int = 1
     shortcut: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    concat_impl: str = "concat"
 
     @nn.compact
     def __call__(self, x):
@@ -72,7 +133,21 @@ class C2f(nn.Module):
             chunks.append(
                 Bottleneck(c, self.shortcut, dtype=self.dtype,
                            name=f"m{i}")(chunks[-1]))
-        y = jnp.concatenate(chunks, axis=-1)
+        total = (2 + self.n) * c
+        if self.concat_impl == "sum":
+            return _VirtualConcatConv(self.features, total,
+                                      dtype=self.dtype, name="cv2")(chunks)
+        if self.concat_impl == "dus":
+            b, h, w_, _ = chunks[0].shape
+            buf = jnp.zeros((b, h, w_, total), self.dtype)
+            off = 0
+            for ch in chunks:
+                buf = jax.lax.dynamic_update_slice(
+                    buf, ch.astype(self.dtype), (0, 0, 0, off))
+                off += c
+            y = buf
+        else:
+            y = jnp.concatenate(chunks, axis=-1)
         return ConvBlock(self.features, 1, dtype=self.dtype, name="cv2")(y)
 
 

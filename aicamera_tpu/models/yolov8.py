@@ -46,6 +46,7 @@ def _depth(n: int, d: float) -> int:
 class Backbone(nn.Module):
     variant: str = "n"
     dtype: jnp.dtype = jnp.bfloat16
+    concat_impl: str = "concat"
 
     @nn.compact
     def __call__(self, x):
@@ -55,13 +56,13 @@ class Backbone(nn.Module):
 
         x = ConvBlock(ch[0], 3, 2, dtype=self.dtype, name="stem")(x)       # P1
         x = ConvBlock(ch[1], 3, 2, dtype=self.dtype, name="down1")(x)      # P2
-        x = C2f(ch[1], dep[0], True, dtype=self.dtype, name="c2f1")(x)
+        x = C2f(ch[1], dep[0], True, dtype=self.dtype, concat_impl=self.concat_impl, name="c2f1")(x)
         x = ConvBlock(ch[2], 3, 2, dtype=self.dtype, name="down2")(x)      # P3
-        p3 = C2f(ch[2], dep[1], True, dtype=self.dtype, name="c2f2")(x)
+        p3 = C2f(ch[2], dep[1], True, dtype=self.dtype, concat_impl=self.concat_impl, name="c2f2")(x)
         x = ConvBlock(ch[3], 3, 2, dtype=self.dtype, name="down3")(p3)     # P4
-        p4 = C2f(ch[3], dep[2], True, dtype=self.dtype, name="c2f3")(x)
+        p4 = C2f(ch[3], dep[2], True, dtype=self.dtype, concat_impl=self.concat_impl, name="c2f3")(x)
         x = ConvBlock(ch[4], 3, 2, dtype=self.dtype, name="down4")(p4)     # P5
-        x = C2f(ch[4], dep[3], True, dtype=self.dtype, name="c2f4")(x)
+        x = C2f(ch[4], dep[3], True, dtype=self.dtype, concat_impl=self.concat_impl, name="c2f4")(x)
         p5 = SPPF(ch[4], dtype=self.dtype, name="sppf")(x)
         return p3, p4, p5
 
@@ -70,6 +71,7 @@ class Neck(nn.Module):
     """PAN-FPN: top-down then bottom-up feature fusion."""
     variant: str = "n"
     dtype: jnp.dtype = jnp.bfloat16
+    concat_impl: str = "concat"
 
     @nn.compact
     def __call__(self, p3, p4, p5):
@@ -78,18 +80,18 @@ class Neck(nn.Module):
         n = _depth(3, d)
 
         x = jnp.concatenate([upsample2x(p5), p4], axis=-1)
-        t1 = C2f(ch[3], n, False, dtype=self.dtype, name="up_c2f1")(x)
+        t1 = C2f(ch[3], n, False, dtype=self.dtype, concat_impl=self.concat_impl, name="up_c2f1")(x)
 
         x = jnp.concatenate([upsample2x(t1), p3], axis=-1)
-        n3 = C2f(ch[2], n, False, dtype=self.dtype, name="up_c2f2")(x)
+        n3 = C2f(ch[2], n, False, dtype=self.dtype, concat_impl=self.concat_impl, name="up_c2f2")(x)
 
         x = ConvBlock(ch[2], 3, 2, dtype=self.dtype, name="down_conv1")(n3)
         x = jnp.concatenate([x, t1], axis=-1)
-        n4 = C2f(ch[3], n, False, dtype=self.dtype, name="down_c2f1")(x)
+        n4 = C2f(ch[3], n, False, dtype=self.dtype, concat_impl=self.concat_impl, name="down_c2f1")(x)
 
         x = ConvBlock(ch[3], 3, 2, dtype=self.dtype, name="down_conv2")(n4)
         x = jnp.concatenate([x, p5], axis=-1)
-        n5 = C2f(ch[4], n, False, dtype=self.dtype, name="down_c2f2")(x)
+        n5 = C2f(ch[4], n, False, dtype=self.dtype, concat_impl=self.concat_impl, name="down_c2f2")(x)
         return n3, n4, n5
 
 
@@ -127,12 +129,20 @@ class YOLOv8(nn.Module):
     variant: str = "n"
     num_classes: int = 80
     dtype: jnp.dtype = jnp.bfloat16
+    # C2f cv2-input formation: "concat" | "dus" | "sum" (see layers.C2f —
+    # the fusion audit's 13%-copy lever, A/B'd by
+    # scripts/profile_c2f_concat.py; params are identical across impls)
+    concat_impl: str = "concat"
 
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        p3, p4, p5 = Backbone(self.variant, dtype=self.dtype, name="backbone")(x)
-        n3, n4, n5 = Neck(self.variant, dtype=self.dtype, name="neck")(p3, p4, p5)
+        p3, p4, p5 = Backbone(self.variant, dtype=self.dtype,
+                              concat_impl=self.concat_impl,
+                              name="backbone")(x)
+        n3, n4, n5 = Neck(self.variant, dtype=self.dtype,
+                          concat_impl=self.concat_impl,
+                          name="neck")(p3, p4, p5)
         return DetectHead(self.variant, self.num_classes, dtype=self.dtype,
                           name="head")((n3, n4, n5))
 

@@ -82,3 +82,31 @@ def test_backbone_feature_pyramid_shapes():
         (2, 16, 20, 64), (2, 8, 10, 64), (2, 4, 5, 64)]
     assert [tuple(c.shape) for _, c in outs] == [
         (2, 16, 20, 80), (2, 8, 10, 80), (2, 4, 5, 80)]
+
+
+def test_c2f_concat_impls_are_checkpoint_compatible_and_equal():
+    """The three C2f cv2-input formations (layers.C2f concat_impl) share
+    one param tree (checkpoints swap freely) and agree numerically:
+    "dus" bitwise with "concat", "sum" within bf16 reduction-order
+    noise."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    models = {i: YOLOv8(variant="n", concat_impl=i)
+              for i in ("concat", "dus", "sum")}
+    tpl = template_params(models["concat"],
+                          jnp.zeros((1, 64, 64, 3), jnp.float32))
+    ref_structure = jax.tree_util.tree_structure(tpl)
+    outs = {}
+    for impl, m in models.items():
+        assert jax.tree_util.tree_structure(
+            template_params(m, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        ) == ref_structure, impl
+        outs[impl] = m.apply(tpl, x)
+    for (rb, rc), (ob, oc) in zip(outs["concat"], outs["dus"]):
+        np.testing.assert_array_equal(np.asarray(rb), np.asarray(ob))
+        np.testing.assert_array_equal(np.asarray(rc), np.asarray(oc))
+    for (rb, rc), (ob, oc) in zip(outs["concat"], outs["sum"]):
+        np.testing.assert_allclose(np.asarray(rb, np.float32),
+                                   np.asarray(ob, np.float32), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rc, np.float32),
+                                   np.asarray(oc, np.float32), atol=1e-4)
