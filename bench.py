@@ -205,6 +205,21 @@ def main():
         rp.warm_up(syn.shape[1:3])
         realistic_fps = measure(rp, syn_chunks, syn.shape[1:3])[1]
 
+    # Real-video trained load: the clip-adapted checkpoint
+    # (scripts/selftrain_clip.py — self-trained on the clip's own
+    # high-confidence pseudo-labels) tracking the REAL clip. Unlike the
+    # headline (random weights -> sparse noise detections), this drives
+    # genuine crops/cascade/lifecycle work on real footage.
+    real_clip_fps = None
+    adapted = root / "models" / "detection" / "yolov8n_clip_adapted.msgpack"
+    if adapted.exists():
+        cp = TrackingPipeline(
+            chunk_size=CHUNK, yolo_weights=str(adapted),
+            reid_weights=str(reid_w) if reid_w.exists() else None)
+        cp.warm_up(arr.shape[1:3])
+        real_clip_fps = measure(cp, chunks, arr.shape[1:3])[1]
+        del cp
+
     out = {
         "metric": "e2e_tracked_fps_640_v5e",
         "value": round(median_fps, 1),
@@ -220,6 +235,8 @@ def main():
     }
     if realistic_fps is not None:
         out["realistic_trained_fps"] = round(realistic_fps, 1)
+    if real_clip_fps is not None:
+        out["real_clip_trained_fps"] = round(real_clip_fps, 1)
     print(json.dumps(out))
 
 
