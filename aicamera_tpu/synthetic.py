@@ -75,6 +75,15 @@ class WorldSpec:
     max_objects: int = 12
     presence: float = 0.75            # probability a slot holds an object
     noise: float = 12.0               # background noise amplitude (levels)
+    # Occlusion-aware ground truth: also invalidate objects whose
+    # VISIBLE (z-order-owned) pixel fraction falls below the
+    # ground_truth min_visible threshold — the MOTChallenge-style
+    # visibility filter. Essential for crowd worlds (~72 objects at
+    # presence 0.75 leave many slots almost fully painted over; counting
+    # them as gt puts an unlearnable, untrackable floor under every
+    # recall number). Off by default: sparse-world configs keep their
+    # recorded numbers bit-for-bit.
+    occlusion_aware_gt: bool = False
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -168,13 +177,39 @@ def render(objects, spec: WorldSpec, key) -> jnp.ndarray:
     return jnp.clip(jnp.round(frame), 0, 255).astype(jnp.uint8)
 
 
+def visibility(objects, spec: WorldSpec) -> jnp.ndarray:
+    """Per-slot VISIBLE pixel fraction under z-order occlusion: pixels
+    the slot actually owns in the rendered frame / its in-frame box
+    pixels. Same ownership math as :func:`render` (highest-index valid
+    slot wins each pixel). (N,) float in [0, 1]; 0 for invalid slots."""
+    h, w = spec.hw
+    n = spec.max_objects
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    x1, y1 = objects["xyxy"][:, 0], objects["xyxy"][:, 1]
+    x2, y2 = objects["xyxy"][:, 2], objects["xyxy"][:, 3]
+    inside = ((xx[None] >= x1[:, None, None])
+              & (xx[None] < x2[:, None, None])
+              & (yy[None] >= y1[:, None, None])
+              & (yy[None] < y2[:, None, None])
+              & objects["valid"][:, None, None])              # (N, H, W)
+    idx = jnp.arange(1, n + 1, dtype=jnp.int32)[:, None, None]
+    owner = jnp.max(jnp.where(inside, idx, 0), axis=0)        # (H, W)
+    owned = jnp.sum((owner[None] == idx).astype(jnp.float32), axis=(1, 2))
+    in_frame = jnp.sum(inside.astype(jnp.float32), axis=(1, 2))
+    return owned / jnp.maximum(in_frame, 1.0)
+
+
 def ground_truth(objects, spec: WorldSpec, min_visible: float = 0.25):
     """Frame-clipped gt boxes: (xyxy (N,4), cls_coco (N,), valid (N,)).
 
-    Slots whose clipped area is below ``min_visible`` of the full box (or
-    fully occluded slots are NOT filtered — z-order occlusion is partial in
-    practice) are marked invalid, mirroring how a labeler drops barely
-    visible objects.
+    Slots whose clipped area is below ``min_visible`` of the full box
+    are marked invalid, mirroring how a labeler drops barely visible
+    objects. With ``spec.occlusion_aware_gt`` the same ``min_visible``
+    threshold additionally applies to the z-order VISIBLE fraction
+    (:func:`visibility`) — the MOTChallenge-style filter crowd worlds
+    need (off by default; partial occlusion stays unfiltered in the
+    sparse worlds, as in practice).
     """
     h, w = spec.hw
     b = objects["xyxy"]
@@ -186,6 +221,8 @@ def ground_truth(objects, spec: WorldSpec, min_visible: float = 0.25):
     carea = jnp.maximum(cl[:, 2] - cl[:, 0], 0) * \
         jnp.maximum(cl[:, 3] - cl[:, 1], 0)
     valid = objects["valid"] & (carea / area >= min_visible)
+    if spec.occlusion_aware_gt:
+        valid = valid & (visibility(objects, spec) >= min_visible)
     return cl, jnp.asarray(_CLS_TABLE)[objects["cls"]], valid
 
 

@@ -1459,7 +1459,10 @@ def config29_crowd_quality(frames_n=192, score_frames=144):
                                   "scripts/train_synthetic.py --crowd"}))
         return
 
-    spec = WorldSpec(max_objects=96, presence=0.75)
+    # occlusion_aware_gt: score only >=25%-visible objects (an object
+    # painted over by the crowd is untrackable by construction)
+    spec = WorldSpec(max_objects=96, presence=0.75,
+                     occlusion_aware_gt=True)
     world = TemporalWorld(spec, seed=11, speed=3.0)
     frames, gt = [], []
     for _ in range(frames_n):

@@ -75,3 +75,48 @@ def test_scene_is_jittable_and_batched():
     frames, boxes, cls, valid = fn(keys)
     assert frames.shape == (3, 216, 384, 3)
     assert boxes.shape == (3, SPEC.max_objects, 4)
+
+
+def test_visibility_fraction_under_occlusion():
+    """visibility() must report the z-order-owned pixel fraction: a box
+    half-covered by a later slot reads ~0.5; the top slot reads 1.0."""
+    import jax.numpy as jnp
+    from aicamera_tpu.synthetic import WorldSpec, visibility
+
+    spec = WorldSpec(hw=(100, 100), max_objects=2)
+    objects = {
+        "valid": jnp.array([True, True]),
+        "cls": jnp.array([0, 0]),
+        # slot 0: x 10..50; slot 1 overlaps its right half exactly
+        "xyxy": jnp.array([[10.0, 10.0, 50.0, 50.0],
+                           [30.0, 10.0, 70.0, 50.0]]),
+        "color": jnp.zeros((2, 3)), "color2": jnp.zeros((2, 3)),
+        "phase": jnp.zeros((2,)), "stripe": jnp.ones((2,)) * 8,
+    }
+    vis = np.asarray(visibility(objects, spec))
+    assert abs(vis[0] - 0.5) < 0.02, vis
+    assert vis[1] == 1.0, vis
+
+
+def test_occlusion_aware_gt_drops_buried_objects():
+    """With spec.occlusion_aware_gt, a slot fully painted over by a
+    later slot is no longer ground truth; without the flag it is
+    (legacy behavior, recorded benchmark numbers depend on it)."""
+    import jax.numpy as jnp
+    from aicamera_tpu.synthetic import WorldSpec, ground_truth
+
+    objects = {
+        "valid": jnp.array([True, True]),
+        "cls": jnp.array([0, 2]),
+        "xyxy": jnp.array([[20.0, 20.0, 40.0, 40.0],    # buried
+                           [10.0, 10.0, 60.0, 60.0]]),  # covers it
+        "color": jnp.zeros((2, 3)), "color2": jnp.zeros((2, 3)),
+        "phase": jnp.zeros((2,)), "stripe": jnp.ones((2,)) * 8,
+    }
+    legacy = WorldSpec(hw=(100, 100), max_objects=2)
+    _, _, v_legacy = ground_truth(objects, legacy)
+    assert bool(v_legacy[0]) and bool(v_legacy[1])
+    aware = WorldSpec(hw=(100, 100), max_objects=2,
+                      occlusion_aware_gt=True)
+    _, _, v_aware = ground_truth(objects, aware)
+    assert not bool(v_aware[0]) and bool(v_aware[1])
