@@ -380,8 +380,8 @@ def make_reid_train_step(model, world: WorldSpec, cfg: ReIDTrainConfig, tx):
     return multi_step
 
 
-def make_clip_train_step(model, frames_dev, boxes_dev, cls_dev, valid_dev,
-                         spec: LetterboxSpec, input_hw: Tuple[int, int],
+def make_clip_train_step(model, spec: LetterboxSpec,
+                         input_hw: Tuple[int, int],
                          cfg: TrainConfig, tx,
                          synthetic_world: WorldSpec | None = None,
                          synthetic_frac: float = 0.5):
@@ -400,87 +400,93 @@ def make_clip_train_step(model, frames_dev, boxes_dev, cls_dev, valid_dev,
     its synthetic-world competence (the quality-gated benchmark rows)
     instead of catastrophically forgetting it.
 
-    ``frames_dev`` (F, H, W, 3) u8 and the label arrays (F, M, ...) must
-    already live on device; samples index into them inside the jitted
-    scan (zero per-step host traffic, same discipline as the synthetic
-    trainer).
+    The clip arrays are ARGUMENTS of the returned jitted
+    ``multi_step(params, opt_state, key, frames, boxes, cls, valid)`` —
+    NOT closure captures: a closed-over device array is baked into the
+    program as a constant, and a 500-frame clip makes the serialized
+    HLO ~780 MB, which the tunneled remote-compile endpoint rejects
+    outright (HTTP 413, observed 2026-08-21). Passed as arguments they
+    stay device-resident references (zero per-step host traffic, same
+    discipline as the synthetic trainer).
     """
-    n_frames = frames_dev.shape[0]
-    w_src = frames_dev.shape[2]
-
-    def clip_image_loss(params, key):
-        ki, kf, kb, kc = jax.random.split(key, 4)
-        i = jax.random.randint(ki, (), 0, n_frames)
-        frame = frames_dev[i].astype(jnp.float32)
-        b = boxes_dev[i]
-        gt_cls = cls_dev[i]
-        gt_valid = valid_dev[i]
-        # horizontal flip (labels mirrored)
-        flip = jax.random.bernoulli(kf)
-        fb = jnp.stack([w_src - b[:, 2], b[:, 1],
-                        w_src - b[:, 0], b[:, 3]], axis=-1)
-        frame = jnp.where(flip, frame[:, ::-1], frame)
-        b = jnp.where(flip, fb, b)
-        # photometric jitter: gain/bias well inside what letterbox /255
-        # normalization sees at inference
-        gain = 1.0 + 0.15 * jax.random.uniform(kb, minval=-1.0, maxval=1.0)
-        bias = 12.0 * jax.random.uniform(kc, minval=-1.0, maxval=1.0)
-        frame = jnp.clip(frame * gain + bias, 0.0, 255.0)
-        x = preprocess_yolo(frame.astype(jnp.uint8), spec,
-                            out_dtype=model.dtype)[0]
-        levels = model.apply(params, x[None])
-        cls_t, box_t, pos = build_targets(b, gt_cls, gt_valid, spec,
-                                          input_hw)
-        return detection_loss(levels, cls_t, box_t, pos, cfg)
-
     syn_spec = None
     if synthetic_world is not None:
         from .ops.preprocess import letterbox_spec as _lb
         syn_spec = _lb(synthetic_world.hw, input_hw)
 
-    def syn_image_loss(params, key):
-        ko, kr = jax.random.split(key)
-        obj = random_objects(ko, synthetic_world)
-        frame = render(obj, synthetic_world, kr)
-        gt_xyxy, gt_cls, gt_valid = ground_truth(obj, synthetic_world)
-        x = preprocess_yolo(frame, syn_spec, out_dtype=model.dtype)[0]
-        levels = model.apply(params, x[None])
-        cls_t, box_t, pos = build_targets(
-            gt_xyxy, gt_cls, gt_valid, syn_spec, input_hw)
-        return detection_loss(levels, cls_t, box_t, pos, cfg)
-
     n_syn = (int(round(cfg.batch * synthetic_frac))
              if synthetic_world is not None else 0)
     n_clip = cfg.batch - n_syn
 
-    def batch_loss(params, key):
-        kc, ks = jax.random.split(key)
-        loss_c, aux_c = jax.vmap(
-            lambda k: clip_image_loss(params, k))(
-                jax.random.split(kc, n_clip))
-        parts = [jnp.sum(loss_c)]
-        auxes = [jax.tree.map(jnp.sum, aux_c)]
-        if n_syn:
-            loss_s, aux_s = jax.vmap(
-                lambda k: syn_image_loss(params, k))(
-                    jax.random.split(ks, n_syn))
-            parts.append(jnp.sum(loss_s))
-            auxes.append(jax.tree.map(jnp.sum, aux_s))
-        total = sum(parts) / cfg.batch
-        aux = jax.tree.map(lambda *xs: sum(xs) / cfg.batch, *auxes)
-        return total, aux
-
-    grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
-
-    def one_step(carry, key):
-        params, opt_state = carry
-        (loss, aux), grads = grad_fn(params, key)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), (loss, aux)
-
     @jax.jit
-    def multi_step(params, opt_state, key):
+    def multi_step(params, opt_state, key, frames_dev, boxes_dev,
+                   cls_dev, valid_dev):
+        n_frames = frames_dev.shape[0]
+        w_src = frames_dev.shape[2]
+
+        def clip_image_loss(params, key):
+            ki, kf, kb, kc = jax.random.split(key, 4)
+            i = jax.random.randint(ki, (), 0, n_frames)
+            frame = frames_dev[i].astype(jnp.float32)
+            b = boxes_dev[i]
+            gt_cls = cls_dev[i]
+            gt_valid = valid_dev[i]
+            # horizontal flip (labels mirrored)
+            flip = jax.random.bernoulli(kf)
+            fb = jnp.stack([w_src - b[:, 2], b[:, 1],
+                            w_src - b[:, 0], b[:, 3]], axis=-1)
+            frame = jnp.where(flip, frame[:, ::-1], frame)
+            b = jnp.where(flip, fb, b)
+            # photometric jitter: gain/bias well inside what letterbox
+            # /255 normalization sees at inference
+            gain = 1.0 + 0.15 * jax.random.uniform(kb, minval=-1.0,
+                                                   maxval=1.0)
+            bias = 12.0 * jax.random.uniform(kc, minval=-1.0, maxval=1.0)
+            frame = jnp.clip(frame * gain + bias, 0.0, 255.0)
+            x = preprocess_yolo(frame.astype(jnp.uint8), spec,
+                                out_dtype=model.dtype)[0]
+            levels = model.apply(params, x[None])
+            cls_t, box_t, pos = build_targets(b, gt_cls, gt_valid, spec,
+                                              input_hw)
+            return detection_loss(levels, cls_t, box_t, pos, cfg)
+
+        def syn_image_loss(params, key):
+            ko, kr = jax.random.split(key)
+            obj = random_objects(ko, synthetic_world)
+            frame = render(obj, synthetic_world, kr)
+            gt_xyxy, gt_cls, gt_valid = ground_truth(obj, synthetic_world)
+            x = preprocess_yolo(frame, syn_spec, out_dtype=model.dtype)[0]
+            levels = model.apply(params, x[None])
+            cls_t, box_t, pos = build_targets(
+                gt_xyxy, gt_cls, gt_valid, syn_spec, input_hw)
+            return detection_loss(levels, cls_t, box_t, pos, cfg)
+
+        def batch_loss(params, key):
+            kc, ks = jax.random.split(key)
+            loss_c, aux_c = jax.vmap(
+                lambda k: clip_image_loss(params, k))(
+                    jax.random.split(kc, n_clip))
+            parts = [jnp.sum(loss_c)]
+            auxes = [jax.tree.map(jnp.sum, aux_c)]
+            if n_syn:
+                loss_s, aux_s = jax.vmap(
+                    lambda k: syn_image_loss(params, k))(
+                        jax.random.split(ks, n_syn))
+                parts.append(jnp.sum(loss_s))
+                auxes.append(jax.tree.map(jnp.sum, aux_s))
+            total = sum(parts) / cfg.batch
+            aux = jax.tree.map(lambda *xs: sum(xs) / cfg.batch, *auxes)
+            return total, aux
+
+        grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
+
+        def one_step(carry, key):
+            params, opt_state = carry
+            (loss, aux), grads = grad_fn(params, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, aux)
+
         keys = jax.random.split(key, cfg.scan)
         (params, opt_state), (losses, auxes) = jax.lax.scan(
             one_step, (params, opt_state), keys)
@@ -524,14 +530,15 @@ def finetune_on_clip(frames: np.ndarray, boxes: np.ndarray,
                      optax.adamw(sched, weight_decay=cfg.weight_decay))
     opt_state = tx.init(params)
     step_fn = make_clip_train_step(
-        model, frames_dev, boxes_dev, cls_dev, valid_dev, spec, input_hw,
-        cfg, tx, synthetic_world=synthetic_world,
+        model, spec, input_hw, cfg, tx, synthetic_world=synthetic_world,
         synthetic_frac=synthetic_frac)
 
     key = jax.random.PRNGKey(cfg.seed)
     for i in range(n_disp):
         key, sub = jax.random.split(key)
-        params, opt_state, losses, auxes = step_fn(params, opt_state, sub)
+        params, opt_state, losses, auxes = step_fn(
+            params, opt_state, sub, frames_dev, boxes_dev, cls_dev,
+            valid_dev)
         if i % max(1, n_disp // 15) == 0 or i == n_disp - 1:
             ls = np.asarray(losses)
             ax = {k: float(np.asarray(v)[-1]) for k, v in auxes.items()}
