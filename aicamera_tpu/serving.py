@@ -9,8 +9,9 @@ batches submissions into fused chunks:
 - up to ``chunk_size`` frames ride one device dispatch (throughput);
 - a ``max_latency_ms`` window bounds how long a lone frame waits for
   batch-mates (latency);
-- results resolve one chunk behind the dispatch so device compute and
-  readback RPCs overlap (same schedule as the offline pipeline).
+- a resolver thread owns the blocking readbacks (bounded in-flight
+  backpressure), so device compute, readback RPCs and the next chunk's
+  gather/dispatch all overlap.
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ class TrackingService:
 
     def __init__(self, pipeline: Optional[TrackingPipeline] = None,
                  chunk_size: int = 8, max_latency_ms: float = 30.0,
-                 **pipeline_kwargs):
+                 max_inflight: int = 8, **pipeline_kwargs):
         self.pipeline = pipeline or TrackingPipeline(
             chunk_size=chunk_size, **pipeline_kwargs)
         self.chunk_size = int(chunk_size)
@@ -44,8 +45,17 @@ class TrackingService:
         # guards _running + sentinel enqueue so no submit can slip a frame
         # in behind the shutdown sentinel (whose Future would never resolve)
         self._state_lock = threading.Lock()
+        # dispatch/readback decoupling (same design as the multi-tenant
+        # service): the gather/dispatch loop never blocks on a readback;
+        # a resolver thread owns the blocking _emit/device_get, with at
+        # most max_inflight unresolved chunks as backpressure
+        self._resolve_q: queue.Queue = queue.Queue(
+            maxsize=max(1, int(max_inflight)))
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        self._resolver = threading.Thread(target=self._run_resolver,
+                                          daemon=True)
+        self._resolver.start()
 
     # --- client API -----------------------------------------------------------
 
@@ -59,12 +69,15 @@ class TrackingService:
         return fut
 
     def shutdown(self, timeout: float = 30.0):
-        """Drain outstanding work and stop the worker. Idempotent."""
+        """Drain outstanding work and stop the workers. Idempotent."""
         with self._state_lock:
             if self._running:
                 self._running = False
                 self._q.put(None)
+        t0 = time.perf_counter()
         self._worker.join(timeout=timeout)
+        self._resolver.join(
+            timeout=max(0.1, timeout - (time.perf_counter() - t0)))
 
     # --- worker ----------------------------------------------------------------
 
@@ -109,7 +122,6 @@ class TrackingService:
                     fut.set_exception(e)
 
     def _run(self):
-        pending = None
         stop = False
         while not stop:
             futures, frames, stop = self._gather()
@@ -121,17 +133,16 @@ class TrackingService:
                 chunk = np.stack(frames)
                 base = self._frame_index
                 self._frame_index += count
-                det_outs, track_outs = self.pipeline._dispatch_chunk(
-                    chunk, n_valid=count)
-                if pending is not None:
-                    self._resolve(pending)
-                pending = (futures, det_outs, track_outs, base, count)
-            elif pending is not None:
-                # idle: flush the outstanding chunk
-                self._resolve(pending)
-                pending = None
-        if pending is not None:
-            self._resolve(pending)
+                try:
+                    det_outs, track_outs = self.pipeline._dispatch_chunk(
+                        chunk, n_valid=count)
+                except Exception as e:  # pragma: no cover - device failure
+                    for fut in futures:
+                        fut.set_exception(e)
+                    continue
+                # blocks only at max_inflight unresolved chunks
+                self._resolve_q.put(
+                    (futures, det_outs, track_outs, base, count))
         # reject anything left in the queue
         try:
             while True:
@@ -140,6 +151,14 @@ class TrackingService:
                     item[0].set_exception(RuntimeError("service shut down"))
         except queue.Empty:
             pass
+        self._resolve_q.put(None)  # resolver drains FIFO, then stops
+
+    def _run_resolver(self):
+        while True:
+            item = self._resolve_q.get()
+            if item is None:
+                break
+            self._resolve(item)
 
 
 # --- multi-tenant serving ------------------------------------------------
