@@ -272,11 +272,17 @@ class MultiTenantTrackingService:
         # the readback ONE transfer (ids/cls are < 2^24 so f32 is exact;
         # on the tunneled dev runtime per-transfer cost dominates).
         self._pack = None
-        # Scheduler estimators (EWMA, alpha 0.3). est_cycle = measured
-        # dispatch->results-available seconds (the lead time a dispatch
-        # needs before a deadline); est_resolve = device_get duration;
-        # arrival_rate = 1/EWMA(inter-arrival) across all tenants, used
-        # to decide whether waiting for batch-mates can pay off.
+        # Scheduler estimators (EWMA, alpha 0.3). The deadline LEAD is
+        # est_resolve — the blocking device_get duration, i.e. the
+        # MARGINAL per-chunk cost at which the FIFO resolver drains in
+        # steady state. est_cycle (full dispatch->results latency) is
+        # kept for stats only: under backlog it includes resolver queue
+        # wait, and using it as the lead creates a positive feedback
+        # loop (inflated lead -> every arrival deadline-fires -> more
+        # tiny dispatches -> deeper backlog -> more inflation) that
+        # collapses batching. arrival_rate = 1/EWMA(inter-arrival)
+        # across all tenants decides whether waiting for batch-mates
+        # can pay off.
         self._est_cycle = 0.0
         self._est_resolve = 0.0
         self._mean_interarrival = 0.0
@@ -428,7 +434,7 @@ class MultiTenantTrackingService:
         if not pending:
             return False
         dl = self._earliest_deadline()
-        lead = self._est_cycle + self.sla_margin
+        lead = self._est_resolve + self.sla_margin
         if now + lead >= dl:
             self.stats["deadline_fires"] += 1
             return True
@@ -437,7 +443,8 @@ class MultiTenantTrackingService:
             rate = (1.0 / self._mean_interarrival
                     if self._mean_interarrival > 0 else 0.0)
             if (rate * budget < 1.0 or
-                    now - oldest >= max(self._est_cycle, self.sla_margin)):
+                    now - oldest >= max(self._est_resolve,
+                                        self.sla_margin)):
                 self.stats["eager_fires"] += 1
                 return True
         return False
@@ -449,7 +456,8 @@ class MultiTenantTrackingService:
         wake = 0.05
         dl = self._earliest_deadline()
         if dl is not None:
-            wake = min(wake, dl - self._est_cycle - self.sla_margin - now)
+            wake = min(wake, dl - self._est_resolve - self.sla_margin
+                       - now)
         return max(wake, 0.0)
 
     def _gather(self):
@@ -478,7 +486,7 @@ class MultiTenantTrackingService:
         return frames, valid, jobs, deadline
 
     def _resolve(self, inflight):
-        packed, jobs, dispatch_ts, _dl = inflight
+        packed, jobs, dispatch_ts = inflight
         t0 = time.perf_counter()
         try:
             import jax
@@ -536,7 +544,7 @@ class MultiTenantTrackingService:
                     else:
                         break
                 if do_dispatch:
-                    frames, valid, jobs, job_dl = self._gather()
+                    frames, valid, jobs, _ = self._gather()
                     do_dispatch = bool(jobs)
                     if do_dispatch:
                         self._inflight += 1
@@ -555,7 +563,7 @@ class MultiTenantTrackingService:
                 self.stats["dispatches"] += 1
                 self.stats["frames"] += len(jobs)
                 # blocks only when max_inflight chunks are unresolved
-                self._resolve_q.put((packed, jobs, dispatch_ts, job_dl))
+                self._resolve_q.put((packed, jobs, dispatch_ts))
         # reject anything that slipped in after the drain loop exited
         with self._cond:
             for slot in self._slots:

@@ -1141,26 +1141,34 @@ def config26_serving(duration_s=12.0):
             idx = rng.randint(0, len(frames), size=(n_streams, k))
             staged.append(jnp.asarray(frames[idx]))
         jax.block_until_ready(staged)
+        # The masked step DONATES its states argument: pipe.states is
+        # invalid the moment the first call below runs, so the final
+        # chained states MUST be written back even if the measurement
+        # throws (no stream is open, so the service worker cannot
+        # dispatch concurrently — but a failure here would otherwise
+        # leave the later phases on deleted buffers).
         states = pipe.states
-        # warm the chained path (2 dispatches + fetch)
-        for i in range(2):
-            states, outs = mstep(pipe.yolo_params, pipe.reid_params,
-                                 states, staged[i], fv)
-        jax.device_get(fold_outputs(outs))
-        t0 = time.perf_counter()
-        scalars = []
-        for buf in staged[2:]:
-            states, outs = mstep(pipe.yolo_params, pipe.reid_params,
-                                 states, buf, fv)
-            scalars.append(fold_outputs(outs))
-        jax.device_get(scalars)
-        t_dispatch = (time.perf_counter() - t0) / len(staged[2:])
+        try:
+            # warm the chained path (2 dispatches + fetch)
+            for i in range(2):
+                states, outs = mstep(pipe.yolo_params, pipe.reid_params,
+                                     states, staged[i], fv)
+            jax.device_get(fold_outputs(outs))
+            t0 = time.perf_counter()
+            scalars = []
+            for buf in staged[2:]:
+                states, outs = mstep(pipe.yolo_params, pipe.reid_params,
+                                     states, buf, fv)
+                scalars.append(fold_outputs(outs))
+            jax.device_get(scalars)
+            t_dispatch = (time.perf_counter() - t0) / len(staged[2:])
+        finally:
+            # hand the (donated-through) states back to the service;
+            # every open_stream resets its slot before first use anyway
+            pipe.states = states
         dispatch_device_ms = t_dispatch * 1e3
         device_req_per_s = n_streams * k / t_dispatch
         _mark(f"phase 0 done: {dispatch_device_ms:.2f} ms/dispatch")
-        # hand the (donated-through) states back to the service; every
-        # open_stream resets its slot before first use anyway
-        pipe.states = states
         del staged
 
         # --- phase 1: closed-loop saturation -----------------------------

@@ -62,9 +62,24 @@ struct NativeVideoReader {
   std::mutex mu;
   std::condition_variable cv_pop;   // consumer waits for frames/EOF
   std::condition_variable cv_push;  // workers wait for window space
+  std::condition_variable cv_first; // boundary verification handshake
   std::atomic<bool> stop{false};
   int live_workers = 0;
   std::vector<std::thread> threads;
+
+  // Boundary verification: CAP_PROP_POS_FRAMES round-trips are
+  // tautological on the FFmpeg backend (get() echoes the seek target
+  // even when the decoder landed elsewhere on VFR/open-GOP/broken-index
+  // containers), so a "verified" seek proves nothing. Instead each
+  // worker k>0 records a clone of its FIRST decoded frame, and worker
+  // k-1 decodes ONE overlap frame past its segment end and compares
+  // bytes BEFORE depositing its own last frame. On mismatch the stream
+  // is truncated at the boundary (gap) — a correct prefix, never a
+  // silently corrupted stream. Induction from worker 0 (sequential
+  // from frame 0) makes every delivered frame seek-verified.
+  enum { FIRST_PENDING = 0, FIRST_SET = 1, FIRST_FAILED = 2 };
+  std::vector<cv::Mat> seg_first;
+  std::vector<uint8_t> seg_first_state;
 
   bool fix_frame(cv::Mat& m) {
     if (m.type() != CV_8UC3) return false;  // unsupported pixel format
@@ -99,6 +114,54 @@ struct NativeVideoReader {
     }
     cv_pop.notify_all();
     cv_push.notify_all();  // workers past the gap stop waiting for space
+    cv_first.notify_all();
+  }
+
+  void set_first(int seg_id, const cv::Mat* m) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      if (m) {
+        seg_first[seg_id] = m->clone();
+        seg_first_state[seg_id] = FIRST_SET;
+      } else {
+        seg_first_state[seg_id] = FIRST_FAILED;
+      }
+    }
+    cv_first.notify_all();
+  }
+
+  static bool frames_equal(const cv::Mat& a, const cv::Mat& b) {
+    if (a.empty() || b.empty() || a.size() != b.size() ||
+        a.type() != b.type()) {
+      return false;
+    }
+    const size_t bytes = a.total() * a.elemSize();
+    return std::memcmp(a.data, b.data, bytes) == 0;
+  }
+
+  // Worker k's end-of-segment check: decode the overlap frame (index
+  // `end`, the next segment's first) on `c` and compare with what the
+  // next worker actually decoded after ITS seek. Truncates (gap) on
+  // mismatch. Called BEFORE depositing frame end-1.
+  void verify_boundary(cv::VideoCapture& c, int seg_id, long long end) {
+    cv::Mat overlap;
+    const bool ook = c.read(overlap) && !overlap.empty() &&
+                     fix_frame(overlap);
+    bool match = true;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_first.wait(lk, [&] {
+        return stop.load() ||
+               seg_first_state[seg_id + 1] != FIRST_PENDING;
+      });
+      if (stop.load()) return;
+      if (seg_first_state[seg_id + 1] == FIRST_SET) {
+        match = ook && frames_equal(overlap, seg_first[seg_id + 1]);
+        seg_first[seg_id + 1].release();  // free the verification clone
+      }
+      // FIRST_FAILED: the next worker already marked its own gap
+    }
+    if (!match) mark_gap(end);
   }
 
   void worker_done() {
@@ -110,20 +173,28 @@ struct NativeVideoReader {
   }
 
   // Sequential decode of [start, end) on an already-positioned capture.
-  void decode_range(cv::VideoCapture& c, long long start, long long end) {
+  // Workers with a predecessor (seg_id > 0) publish their first decoded
+  // frame for its boundary check; workers with a successor
+  // (verify_end) run their own check before depositing the last frame.
+  void decode_range(cv::VideoCapture& c, int seg_id, long long start,
+                    long long end, bool verify_end) {
     for (long long i = start; i < end && !stop.load(); ++i) {
       cv::Mat m;
       if (!c.read(m) || m.empty() || !fix_frame(m)) {
+        if (seg_id > 0 && i == start) set_first(seg_id, nullptr);
         mark_gap(i);
         break;
       }
+      if (seg_id > 0 && i == start) set_first(seg_id, &m);
+      if (verify_end && i == end - 1) verify_boundary(c, seg_id, end);
       if (!put(i, std::move(m))) break;
     }
     worker_done();
   }
 
   // Segment worker: own capture, one seek, then sequential.
-  void decode_segment(long long start, long long end) {
+  void decode_segment(int seg_id, long long start, long long end,
+                      bool verify_end) {
     cv::VideoCapture c(path);
     bool ok = c.isOpened();
     if (ok && start > 0) {
@@ -131,9 +202,10 @@ struct NativeVideoReader {
           c.set(cv::CAP_PROP_POS_FRAMES, static_cast<double>(start)) &&
           static_cast<long long>(c.get(cv::CAP_PROP_POS_FRAMES)) == start;
       if (!sought) {
-        // container refuses frame-accurate seek: decode-skip forward
+        // container refuses the seek outright: decode-skip forward
         // (grab() decodes without the retrieve/convert cost) so the
-        // stream is still delivered complete rather than truncated
+        // stream is still delivered complete rather than truncated.
+        // (A seek that LIES lands in verify_boundary instead.)
         c.release();
         ok = c.open(path);
         for (long long j = 0; ok && j < start && !stop.load(); ++j) {
@@ -142,11 +214,12 @@ struct NativeVideoReader {
       }
     }
     if (!ok) {
+      if (seg_id > 0) set_first(seg_id, nullptr);
       mark_gap(start);
       worker_done();
       return;
     }
-    decode_range(c, start, end);
+    decode_range(c, seg_id, start, end, verify_end);
     c.release();
   }
 
@@ -182,13 +255,19 @@ struct NativeVideoReader {
     long long per = (n_frames + n_threads - 1) / n_threads;
     per = std::max<long long>(per, kMinSegmentFrames);
     cap.release();  // workers open their own captures
-    long long start = 0;
-    while (start < n_frames) {
+    std::vector<std::pair<long long, long long>> segs;
+    for (long long start = 0; start < n_frames;) {
       long long end = std::min(start + per, n_frames);
-      ++live_workers;
-      threads.emplace_back(&NativeVideoReader::decode_segment, this, start,
-                           end);
+      segs.emplace_back(start, end);
       start = end;
+    }
+    seg_first.resize(segs.size());
+    seg_first_state.assign(segs.size(), FIRST_PENDING);
+    for (size_t sid = 0; sid < segs.size(); ++sid) {
+      ++live_workers;
+      threads.emplace_back(&NativeVideoReader::decode_segment, this,
+                           static_cast<int>(sid), segs[sid].first,
+                           segs[sid].second, sid + 1 < segs.size());
     }
   }
 };
@@ -302,6 +381,7 @@ void vr_close(void* handle) {
   r->stop.store(true);
   r->cv_push.notify_all();
   r->cv_pop.notify_all();
+  r->cv_first.notify_all();
   for (auto& t : r->threads) {
     if (t.joinable()) t.join();
   }

@@ -161,7 +161,9 @@ def main():
     ap.add_argument("--out", type=str, default=str(DEFAULT_OUT))
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--min-prec", type=float, default=0.85)
-    ap.add_argument("--min-rec", type=float, default=0.85)
+    # None = per-mode default (0.85; crowd: 0.6) — explicit values are
+    # always honored, including --crowd --min-rec 0.85
+    ap.add_argument("--min-rec", type=float, default=None)
     ap.add_argument("--crowd", action="store_true",
                     help="fine-tune a CROWD-density detector (96-slot "
                          "world, ~72 visible objects/scene with heavy "
@@ -199,11 +201,12 @@ def main():
             args.lr = 5e-4
         if args.batch is None:
             args.batch = 4
-        # occlusion-heavy scenes cap attainable recall well below the
-        # sparse world's: ~30% of visible-box area is covered by a
-        # later-z object on average
-        if args.min_rec == 0.85:
+        # occlusion-heavy scenes cap attainable recall below the
+        # sparse world's even with visibility-filtered gt
+        if args.min_rec is None:
             args.min_rec = 0.6
+    if args.min_rec is None:
+        args.min_rec = 0.85
     print(f"backend={jax.default_backend()}")
 
     if args.reid:
