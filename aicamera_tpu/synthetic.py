@@ -84,6 +84,12 @@ class WorldSpec:
     # recall number). Off by default: sparse-world configs keep their
     # recorded numbers bit-for-bit.
     occlusion_aware_gt: bool = False
+    # Object size multiplier on the class priors. Crowd worlds need < 1:
+    # at the default sizes, 96 objects carry ~1.8x the frame's area in
+    # boxes, so mutual z-order occlusion buries most of them (measured
+    # 23.7 visible of ~72 present); halving linear size quarters the
+    # area and lets a genuine 60+ objects stay visible concurrently.
+    size_scale: float = 1.0
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -107,7 +113,7 @@ def random_objects(key, spec: WorldSpec):
     ci = jax.random.randint(ks[1], (n,), 0, len(CLASS_IDS))
     pri = jnp.asarray(_PRIOR_TABLE)[ci]                      # (N, 4)
     u = jax.random.uniform(ks[2], (n, 2))
-    bh = pri[:, 0] + u[:, 0] * (pri[:, 1] - pri[:, 0])
+    bh = (pri[:, 0] + u[:, 0] * (pri[:, 1] - pri[:, 0])) * spec.size_scale
     bw = bh * (pri[:, 2] + u[:, 1] * (pri[:, 3] - pri[:, 2]))
     c = jax.random.uniform(ks[3], (n, 2))
     cx = c[:, 0] * (w + 0.5 * bw) - 0.25 * bw

@@ -1468,8 +1468,11 @@ def config29_crowd_quality(frames_n=192, score_frames=144):
         return
 
     # occlusion_aware_gt: score only >=25%-visible objects (an object
-    # painted over by the crowd is untrackable by construction)
-    spec = WorldSpec(max_objects=96, presence=0.75,
+    # painted over by the crowd is untrackable by construction).
+    # 128 slots at 0.45 size scale keep ~83 objects visible concurrently
+    # (the default-size 96-slot world buried all but ~24 — measured);
+    # MUST match scripts/train_synthetic.py::_crowd_world.
+    spec = WorldSpec(max_objects=128, presence=0.9, size_scale=0.45,
                      occlusion_aware_gt=True)
     world = TemporalWorld(spec, seed=11, speed=3.0)
     frames, gt = [], []

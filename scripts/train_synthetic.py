@@ -30,10 +30,13 @@ CROWD_OUT = DEFAULT_OUT.with_name("yolov8n_synthetic_crowd.msgpack")
 
 def _crowd_world():
     from aicamera_tpu.synthetic import WorldSpec
-    # occlusion_aware_gt: at ~72 objects/scene many slots are painted
-    # almost fully over; training/eval only on >=25%-visible objects
-    # (MOTChallenge-style) keeps the targets learnable
-    return WorldSpec(max_objects=96, presence=0.75,
+    # occlusion_aware_gt: training/eval only on >=25%-visible objects
+    # (MOTChallenge-style) keeps the targets learnable. size_scale 0.45
+    # + 128 slots: default-size objects carry ~1.8x the frame's area so
+    # mutual occlusion buries most of them (measured 23.7 visible of
+    # ~72); at 0.45 scale a genuine ~83 objects stay visible
+    # concurrently — the capacity the crowd benchmark exists to score.
+    return WorldSpec(max_objects=128, presence=0.9, size_scale=0.45,
                      occlusion_aware_gt=True)
 
 
