@@ -68,11 +68,36 @@ def _load_clip(n: int | None = None, hw=None):
 
 
 _OUT_PATH: Path | None = None
+_LAST_PROBE_MS: float | None = None
+_PROBE_SEQ = [0]
+
+
+def _probe_ms() -> float:
+    """Median of 3 tiny distinct-buffer device round trips (ms) — the
+    tunnel-health probe (CLAUDE.md: transfers degrade ~1 s under
+    sustained load). Recorded into the next emitted row so every sweep
+    number is self-validating (VERDICT r3 weak #6: rows needed same-day
+    standalone re-runs because nothing recorded the window's health)."""
+    global _LAST_PROBE_MS
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    xs = []
+    for _ in range(3):
+        _PROBE_SEQ[0] += 1
+        x = jnp.asarray(np.full((64,), float(_PROBE_SEQ[0]), np.float32))
+        t0 = time.perf_counter()
+        jax.device_get(x)
+        xs.append((time.perf_counter() - t0) * 1e3)
+    _LAST_PROBE_MS = sorted(xs)[1]
+    return _LAST_PROBE_MS
 
 
 def _emit(name, fps, unit="fps", **extra):
-    line = json.dumps({"config": name, "value": round(fps, 1), "unit": unit,
-                       **extra})
+    row = {"config": name, "value": round(fps, 1), "unit": unit, **extra}
+    if _LAST_PROBE_MS is not None and "tunnel_probe_ms" not in row:
+        row["tunnel_probe_ms"] = round(_LAST_PROBE_MS, 1)
+    line = json.dumps(row)
     print(line)
     if _OUT_PATH is not None:
         with open(_OUT_PATH, "a") as f:
@@ -133,12 +158,14 @@ def _one_pass(pipe, step, chunks, fv, collect="track"):
 
 def _timed_run(pipe, arr, k=96, reps=3, collect="track"):
     """Warm up + compile, pre-stage ``arr`` in HBM, run ``reps`` timed
-    passes. Returns (sorted run FPS list, frames per pass)."""
+    passes. Returns (sorted run FPS list, frames per pass). Probes the
+    tunnel immediately before the timed passes; _emit records it."""
     import jax.numpy as jnp
     pipe.warm_up(arr.shape[1:3])
     step = pipe._get_step(arr.shape[1:3], k)
     fv = jnp.ones((k,), bool)
     chunks = _staged_chunks(arr, k)
+    _probe_ms()
     runs = sorted(_one_pass(pipe, step, chunks, fv, collect)
                   for _ in range(reps))
     return runs, len(chunks) * k
