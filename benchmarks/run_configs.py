@@ -1542,6 +1542,12 @@ def config29_crowd_quality(frames_n=192, score_frames=144):
                 hyp.append((np.zeros((0, 4), np.float32),
                             np.zeros((0,), np.int64)))
         live = [len(h[1]) for h in hyp[5:]]
+        # slot occupancy AFTER the replay: live tracks incl. coasting
+        # (confirmed, tsu>0) — the table capacity actually exercised,
+        # where live_tracks_* counts only emitted (tsu==0) rows
+        import jax as _jax
+        active_slots = int(np.asarray(
+            _jax.device_get(pipe.state.active)).sum())
         mot = evaluate_mot(gt[5:score_frames], hyp[5:score_frames])
         hota = evaluate_hota(gt[5:score_frames], hyp[5:score_frames])
         _emit(f"29_crowd_quality_{name}", runs[1], frames=n,
@@ -1551,11 +1557,13 @@ def config29_crowd_quality(frames_n=192, score_frames=144):
               ass_a=round(hota.ass_a, 3),
               live_tracks_mean=round(float(np.mean(live)), 1),
               live_tracks_max=int(np.max(live)),
+              active_slots_final=active_slots,
               gt_visible_mean=round(float(np.mean(gt_live)), 1),
               track_slots=192, det_slate=100,
-              note="96-slot crowd world; bucketed-scan overflow paths "
-                   "active (scan_bucket 32 << live tracks); DeepSORT "
-                   "embeds a 64-crop bucket per frame")
+              note="128-slot crowd world (0.45 size scale, presence "
+                   "0.95 eval vs 0.9 training); bucketed-scan overflow "
+                   "paths active (scan_bucket 32 << live tracks); "
+                   "DeepSORT embeds a 64-crop bucket per frame")
 
 
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
