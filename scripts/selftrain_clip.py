@@ -161,6 +161,11 @@ def main():
     dets = detect_all(frames, args.weights)
     print(f"detect pass {time.time() - t0:.0f}s "
           f"({np.mean([len(d[1]) for d in dets]):.1f} raw dets/frame)")
+    # free the detect pipeline's device buffers before the trainer
+    # stages the clip + optimizer state (observed marginal HBM OOM on
+    # the first train dispatch otherwise)
+    import gc
+    gc.collect()
     boxes, cls, valid, stats = pseudo_labels(dets, args.conf_hi)
     print(f"pseudo-labels: {json.dumps(stats)}")
     if stats["labels_per_frame"] < 1.0:
