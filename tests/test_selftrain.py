@@ -5,10 +5,31 @@ shapes, CPU."""
 import sys
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """Persistent compile cache OFF for this module only: XLA:CPU's AOT
+    serializer flakily aborts on this module's very large scanned
+    fwd+bwd executables in long-lived suite processes (cold-cache run
+    2026-08-21 died with SIGABRT inside
+    compilation_cache.put_executable_and_time at test_train_dp — same
+    family as the bucketed-scan/serving segfaults, see
+    tests/test_scan_bucket_impl.py). reset_cache() makes the flip
+    effective mid-suite; teardown restores the warm cache for the rest
+    of the suite."""
+    from jax._src import compilation_cache as _cc
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    _cc.reset_cache()
+
 
 
 def test_pseudo_labels_temporal_consistency_filter():

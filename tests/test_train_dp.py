@@ -18,6 +18,26 @@ from aicamera_tpu.train import (TrainConfig, make_train_step,
                                 make_train_step_dp)
 
 INPUT_HW = (64, 64)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compile_cache():
+    """Persistent compile cache OFF for this module only: XLA:CPU's AOT
+    serializer flakily aborts on this module's very large scanned
+    fwd+bwd executables in long-lived suite processes (cold-cache run
+    2026-08-21 died with SIGABRT inside
+    compilation_cache.put_executable_and_time at test_train_dp — same
+    family as the bucketed-scan/serving segfaults, see
+    tests/test_scan_bucket_impl.py). reset_cache() makes the flip
+    effective mid-suite; teardown restores the warm cache for the rest
+    of the suite."""
+    from jax._src import compilation_cache as _cc
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    _cc.reset_cache()
+
 WORLD = WorldSpec(hw=(48, 64), max_objects=4, presence=1.0)
 CFG = TrainConfig(batch=8, scan=2, lr=1e-3, warmup=1)
 
