@@ -53,7 +53,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 # this module (different tests, different jax frames) while every
 # standalone run of the module passes. Process isolation runs it in the
 # configuration that has always been clean.
-collect_ignore = ["test_scan_bucket_impl.py"]
+collect_ignore = ["test_scan_bucket_impl.py",
+                  "test_train_dp_impl.py"]
 
 
 # --- fast/slow tier split (VERDICT r3 #7) ---------------------------------
