@@ -268,9 +268,10 @@ class MultiTenantTrackingService:
         self._inflight = 0  # dispatched, not yet resolved (under _cond)
         # Output packing: the chunk step returns 5 leaves (tlbr, ids,
         # cls, conf, mask); fetching them is 5 host transfers per chunk.
-        # One jitted concat into a single (S, K, T, 8) f32 array makes
-        # the readback ONE transfer (ids/cls are < 2^24 so f32 is exact;
-        # on the tunneled dev runtime per-transfer cost dominates).
+        # One jitted concat into a single (S, K, T, 9) f32 array makes
+        # the readback ONE transfer (ids ride as two 16-bit lanes so the
+        # full 32-bit id range survives f32 exactly; on the tunneled dev
+        # runtime per-transfer cost dominates).
         self._pack = None
         # Scheduler estimators (EWMA, alpha 0.3). The deadline LEAD is
         # est_resolve — the blocking device_get duration, i.e. the
@@ -492,10 +493,11 @@ class MultiTenantTrackingService:
             import jax
             arr = jax.device_get(packed)  # ONE transfer per chunk
             tlbr = arr[..., :4]
-            ids = arr[..., 4].astype(np.int64)
-            cls = arr[..., 5].astype(np.int32)
-            conf = arr[..., 6]
-            mask = arr[..., 7] != 0.0
+            ids = (arr[..., 4].astype(np.int64)
+                   | (arr[..., 5].astype(np.int64) << 16))
+            cls = arr[..., 6].astype(np.int32)
+            conf = arr[..., 7]
+            mask = arr[..., 8] != 0.0
             resolve_ts = time.perf_counter()
             for sid, t, fut, fidx, arrival in jobs:
                 fut.set_result(StreamFrameResult(
@@ -575,17 +577,22 @@ class MultiTenantTrackingService:
         self._resolve_q.put(None)  # resolver drains FIFO, then stops
 
     def _pack_outputs(self, outs):
-        """Fuse the 5 output leaves into one (S, K, T, 8) f32 device
-        array (single readback transfer)."""
+        """Fuse the 5 output leaves into one (S, K, T, 9) f32 device
+        array (single readback transfer). Track ids ride as two 16-bit
+        lanes (lo, hi) — a single f32 lane is exact only below 2^24, and
+        a long-lived service's monotonically growing ids would silently
+        round past that; two lanes are exact for the full 32-bit range."""
         if self._pack is None:
             import jax
             import jax.numpy as jnp
 
             @jax.jit
             def pack(tlbr, ids, cls, conf, mask):
+                ids32 = ids.astype(jnp.uint32)
                 return jnp.concatenate(
                     [tlbr.astype(jnp.float32),
-                     ids.astype(jnp.float32)[..., None],
+                     (ids32 & 0xFFFF).astype(jnp.float32)[..., None],
+                     (ids32 >> 16).astype(jnp.float32)[..., None],
                      cls.astype(jnp.float32)[..., None],
                      conf.astype(jnp.float32)[..., None],
                      mask.astype(jnp.float32)[..., None]], axis=-1)

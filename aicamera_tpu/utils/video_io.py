@@ -90,16 +90,22 @@ class NativeVideoReader:
     ``aicamera_tpu.native.video_available()`` first.
     """
 
-    def __init__(self, source, queue_depth: int = 64,
+    def __init__(self, source, queue_depth: Optional[int] = None,
                  max_frames: Optional[int] = None,
                  n_threads: Optional[int] = None):
         """``n_threads`` > 1 enables segment-parallel decode for seekable
         files with a known frame count (each worker seeks once to its own
         contiguous segment; frames are merged in order through a bounded
-        reorder window of ``queue_depth`` frames). Webcams and unindexed
-        streams always decode on one worker. ``None`` (default) uses
-        ``min(4, usable cores)`` — on a single-core host extra decode
-        threads only add contention (measured 273 -> 143 FPS at 4
+        reorder window). ``queue_depth`` pins the reorder window to that
+        many frames (hard memory cap — workers then lead the consumer by
+        at most the window, which serializes long parallel decodes; see
+        the scaling-limit note in native/video_reader.cpp). ``None``
+        (default) lets the decoder auto-size the window from a byte
+        budget (AICAM_VR_WINDOW_BYTES, default 2 GiB) so files that fit
+        decode at full parallelism. Webcams and unindexed streams always
+        decode on one worker with a 64-frame ring. ``n_threads=None``
+        uses ``min(4, usable cores)`` — on a single-core host extra
+        decode threads only add contention (measured 273 -> 143 FPS at 4
         threads on the 540p reference clip)."""
         import ctypes
         import os
@@ -119,16 +125,17 @@ class NativeVideoReader:
                 "native video decoder unavailable (OpenCV C++ dev files or "
                 "toolchain missing); use utils.video_io.VideoReader")
         self._lib = lib
+        depth = 0 if queue_depth is None else int(queue_depth)  # 0 = auto
         if isinstance(source, int):
             self.is_webcam = True
-            handle = lib.vr_open(b"", source, queue_depth,
+            handle = lib.vr_open(b"", source, depth,
                                  -1 if max_frames is None else max_frames,
                                  1)
         else:
             self.is_webcam = False
             if not Path(str(source)).exists():
                 raise FileNotFoundError(f"Input video not found: {source}")
-            handle = lib.vr_open(str(source).encode(), -1, queue_depth,
+            handle = lib.vr_open(str(source).encode(), -1, depth,
                                  -1 if max_frames is None else max_frames,
                                  max(1, int(n_threads)))
         if not handle:

@@ -28,7 +28,7 @@
  26. Multi-tenant serving: mixed-rate tenants + closed-loop saturation
  27. Int8 (W8A8) ReID A/B: raw crops/s, worst-case FPS, quality gates
  28. Int8 static-calibrated detector A/B: raw fwd, clip FPS, AP50 gate
- 29. Crowd-scale quality: ~72 live identities, MOT/HOTA at 192 slots
+ 29. Crowd-scale quality: ~85 live identities, MOT/HOTA at 192 slots
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all [--out results.jsonl]
@@ -1465,18 +1465,19 @@ def config28_int8_yolo(frames_n=500):
 
 
 def config29_crowd_quality(frames_n=192, score_frames=144):
-    """Crowd-scale QUALITY benchmark (VERDICT r3 #4): ~72 concurrent
-    identities per frame (96-slot world, presence 0.75) with natural
-    crossings and z-order occlusions, tracked at 192-slot capacity with
-    a 100-detection slate and a 64-crop ReID bucket — MOT/HOTA/IDSW
-    columns at >= 64 live tracks for DeepSORT AND ByteTrack, where the
-    capacity paths previously had perf-only rows (configs 5/7). The
-    192-slot table with scan_bucket=32 exercises the bucketed scan's
-    high-slot skip and mid-chunk overflow fallbacks UNDER SCORING.
+    """Crowd-scale QUALITY benchmark (VERDICT r3 #4): ~85 concurrent
+    visible identities per frame (128-slot world, size_scale 0.45,
+    presence 0.95) with natural crossings and z-order occlusions,
+    tracked at 192-slot capacity with a 100-detection slate and a
+    64-crop ReID bucket — MOT/HOTA/IDSW columns at >= 64 live tracks
+    for DeepSORT AND ByteTrack, where the capacity paths previously had
+    perf-only rows (configs 5/7). The 192-slot table with
+    scan_bucket=32 exercises the bucketed scan's high-slot skip and
+    mid-chunk overflow fallbacks UNDER SCORING.
 
     Needs the crowd fine-tuned detector
     (``scripts/train_synthetic.py --crowd``): the base checkpoint's
-    ~12-object training density finds only ~20% of a 96-object crowd."""
+    ~12-object training density finds only ~20% of this crowd."""
     import numpy as np
     from aicamera_tpu import config as cfg
     from aicamera_tpu.core.state import TrackerParams

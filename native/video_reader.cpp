@@ -11,16 +11,34 @@
 // into N contiguous segments, each decoded by its own worker (own
 // VideoCapture, one keyframe seek per worker), merged in strict frame
 // order through a shared reorder window with memory-bounded backpressure
-// (a worker may run at most `ring_frames` frames ahead of the consumer).
+// (a worker may run at most `window_cap` frames ahead of the consumer).
 // Single-thread decode measured ~226 FPS on the 540p reference clip —
 // below the 400 FPS/chip compute north star — so decode parallelism is
 // what keeps a PCIe host's end-to-end min(decode, compute) above it.
 // Webcams and streams without a frame count fall back to one worker.
 //
+// SCALING LIMIT (window vs segment length): worker k deposits frame i
+// only when i < next_out + window_cap, and next_out advances at the rate
+// of the slowest *preceding* segment — so each worker's usable lead is
+// the window, and the parallel speedup over a file of n frames is
+// bounded by roughly n / (n - (N-1)*min(window_cap, n/N)). Full N-way
+// scaling therefore needs window_cap ≈ n_frames (every later segment
+// buffered while segment 0 drains). When the caller does not pin
+// `ring_frames`, parallel opens auto-size the window from a byte budget
+// (AICAM_VR_WINDOW_BYTES, default 2 GiB) so files that fit decode at
+// full parallelism; longer files degrade smoothly toward sequential
+// speed and the budget bounds peak memory. Contiguous segments are kept
+// on purpose: interleaved (strided) block scheduling would bound memory
+// at full parallelism but costs one keyframe seek per block — on
+// long-GOP content (keyint 250 is the x264 default) a seek decodes
+// ~half a GOP it throws away, which can exceed the decode work it
+// parallelizes. One seek per worker is robust to any GOP structure.
+//
 // C API (ctypes-friendly, see aicamera_tpu/native/__init__.py):
 //   vr_open(path, webcam_id, ring_frames, max_frames, n_threads) ->
 //       handle | NULL   (n_threads <= 1, webcam, or unknown frame count
-//                        => single sequential decoder)
+//                        => single sequential decoder; ring_frames <= 0
+//                        => auto window sizing as above)
 //   vr_info(handle, &w, &h, &fps, &count)
 //   vr_read(handle, dst, max) -> frames copied (blocks until max or EOF)
 //   vr_close(handle)
@@ -32,6 +50,7 @@
 #include <atomic>
 #include <climits>
 #include <condition_variable>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <thread>
@@ -53,6 +72,7 @@ struct NativeVideoReader {
   // may be written only when its index is < next_out + window_cap, which
   // also guarantees its slot has been drained (i - window_cap < next_out).
   int window_cap = 64;
+  bool window_auto = true;  // caller did not pin ring_frames
   std::vector<cv::Mat> slots;
   std::vector<uint8_t> filled;  // bool per slot
   long long next_out = 0;       // next frame index the consumer pops
@@ -240,6 +260,25 @@ struct NativeVideoReader {
   }
 
   void start_workers(long long n_frames, int n_threads) {
+    if (window_auto && n_threads > 1 && n_frames > 0) {
+      // Auto-size the reorder window so segment workers can genuinely run
+      // ahead of the consumer (see SCALING LIMIT in the file header):
+      // window = min(n_frames, byte_budget / frame_bytes). Files that fit
+      // the budget decode at full N-way parallelism; longer files get the
+      // largest lead the budget allows.
+      long long budget = 2LL << 30;  // 2 GiB default
+      if (const char* env = std::getenv("AICAM_VR_WINDOW_BYTES")) {
+        const long long v = std::atoll(env);
+        if (v > 0) budget = v;
+      }
+      const long long frame_bytes =
+          static_cast<long long>(w) * static_cast<long long>(h) * 3;
+      const long long by_budget = std::max<long long>(
+          budget / std::max<long long>(frame_bytes, 1), 1);
+      long long wf = std::min<long long>(n_frames, by_budget);
+      wf = std::min<long long>(wf, 1LL << 20);  // sanity cap on slot count
+      window_cap = std::max(window_cap, static_cast<int>(wf));
+    }
     window_cap = std::max(window_cap, 2 * n_threads);
     slots.resize(window_cap);
     filled.assign(window_cap, 0);
@@ -263,8 +302,15 @@ struct NativeVideoReader {
     }
     seg_first.resize(segs.size());
     seg_first_state.assign(segs.size(), FIRST_PENDING);
+    {
+      // Published BEFORE any worker can run: workers decrement under the
+      // same mutex in worker_done(), so incrementing per spawn iteration
+      // would race an early-exiting worker (capture-open failure path)
+      // and could leave the count permanently wrong.
+      std::lock_guard<std::mutex> lk(mu);
+      live_workers = static_cast<int>(segs.size());
+    }
     for (size_t sid = 0; sid < segs.size(); ++sid) {
-      ++live_workers;
       threads.emplace_back(&NativeVideoReader::decode_segment, this,
                            static_cast<int>(sid), segs[sid].first,
                            segs[sid].second, sid + 1 < segs.size());
@@ -294,7 +340,10 @@ void* vr_open(const char* path, int webcam_id, int ring_frames,
     delete r;
     return nullptr;
   }
-  if (ring_frames > 0) r->window_cap = ring_frames;
+  if (ring_frames > 0) {
+    r->window_cap = ring_frames;
+    r->window_auto = false;  // caller pinned the window: hard memory cap
+  }
 
   // Parallel segment decode needs a trustworthy frame count and a
   // seekable source; otherwise fall back to one sequential worker.

@@ -168,15 +168,16 @@ def main():
     # always honored, including --crowd --min-rec 0.85
     ap.add_argument("--min-rec", type=float, default=None)
     ap.add_argument("--crowd", action="store_true",
-                    help="fine-tune a CROWD-density detector (96-slot "
-                         "world, ~72 visible objects/scene with heavy "
-                         "z-order occlusion) warm-started from the base "
-                         "synthetic checkpoint; saves to "
+                    help="fine-tune a CROWD-density detector (128-slot "
+                         "world at size_scale 0.45, ~83 visible "
+                         "objects/scene with heavy z-order occlusion) "
+                         "warm-started from the base synthetic "
+                         "checkpoint; saves to "
                          "yolov8n_synthetic_crowd.msgpack. The base "
                          "checkpoint's ~12-object training density only "
-                         "finds ~20% of a 96-object crowd (measured) — "
-                         "density is out-of-distribution, so benchmark "
-                         "config 29 needs this checkpoint.")
+                         "finds ~20% of this crowd (measured) — density "
+                         "is out-of-distribution, so benchmark config "
+                         "29 needs this checkpoint.")
     args = ap.parse_args()
 
     import jax
@@ -196,8 +197,8 @@ def main():
         if args.out == str(DEFAULT_OUT):
             out = CROWD_OUT
         # crowd fine-tune defaults: fewer steps, gentler LR (warm start),
-        # smaller batch (the 96-slot renderer's (N, H, W) ownership masks
-        # are 8x the default world's memory)
+        # smaller batch (the 128-slot renderer's (N, H, W) ownership
+        # masks are ~10x the default world's memory)
         if args.steps is None:
             args.steps = 2000
         if args.lr is None:

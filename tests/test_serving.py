@@ -45,6 +45,31 @@ def _frames(n, seed=0):
     return [rng.randint(0, 256, (*FRAME_HW, 3), np.uint8) for _ in range(n)]
 
 
+def test_packed_readback_exact_for_large_track_ids():
+    """The single-transfer readback packs track ids into two 16-bit f32
+    lanes: ids beyond 2^24 (where one f32 lane silently rounds) must
+    round-trip exactly — a long-lived service's ids grow monotonically."""
+    from aicamera_tpu.serving import MultiTenantTrackingService
+    svc = MultiTenantTrackingService.__new__(MultiTenantTrackingService)
+    svc._pack = None
+    ids = np.array([[[0, 1, 2 ** 24 + 1, 2 ** 31 - 1, 16_777_217,
+                      999_999_937, 7, 8]]], np.int64)
+    S, K, T = ids.shape
+    tlbr = np.arange(S * K * T * 4, dtype=np.float32).reshape(S, K, T, 4)
+    cls = np.arange(T, dtype=np.int32).reshape(1, 1, T)
+    conf = np.linspace(0, 1, T, dtype=np.float32).reshape(1, 1, T)
+    mask = np.array([[[1, 1, 1, 1, 1, 1, 0, 0]]], bool)
+    arr = np.asarray(jax.device_get(
+        svc._pack_outputs((tlbr, ids, cls, conf, mask))))
+    got_ids = (arr[..., 4].astype(np.int64)
+               | (arr[..., 5].astype(np.int64) << 16))
+    np.testing.assert_array_equal(got_ids, ids)
+    np.testing.assert_array_equal(arr[..., :4], tlbr)
+    np.testing.assert_array_equal(arr[..., 6].astype(np.int32), cls)
+    np.testing.assert_allclose(arr[..., 7], conf, rtol=1e-6)
+    np.testing.assert_array_equal(arr[..., 8] != 0.0, mask)
+
+
 def test_masked_chunk_step_leaves_invalid_stream_untouched():
     """frame_valid=False lanes must not advance that stream's tracker
     state — bitwise — while valid lanes process normally."""
@@ -172,20 +197,31 @@ def test_eager_dispatch_under_headroom(svc):
     frame with an 8 s SLA took >8 s.)"""
     import time
     sid = svc.open_stream(max_latency_ms=8000.0)
-    # warm: first dispatch on a fresh service compiles (~30 s on CPU)
+    # warm: first dispatch on a fresh service compiles (~30 s on CPU);
+    # the SECOND warm call measures a loaded-host step baseline so the
+    # bounds below scale with actual machine load instead of flaking on
+    # absolute wall-clock ceilings (warm CPU steps run ~1 s under load).
     svc.submit(sid, _frames(1, seed=98)[0]).result(timeout=300)
+    t0 = time.perf_counter()
+    svc.submit(sid, _frames(1, seed=96)[0]).result(timeout=300)
+    warm_step = time.perf_counter() - t0
+    eager_before = svc.stats["eager_fires"]
     t0 = time.perf_counter()
     res = svc.submit(sid, _frames(1, seed=11)[0]).result(timeout=300)
     wall = time.perf_counter() - t0
     svc.close_stream(sid)
-    # bound well under the 8s SLA (the pre-r4 scheduler took >8s) but
-    # tolerant of ~1s warm CPU steps on a loaded single-core host
-    assert wall < 4.0, f"lone frame took {wall:.2f}s against an 8s SLA"
+    # behavioral: the lone frame rode an eager fire (or a deadline fire
+    # if load pushed it there), never a full-window wait
+    assert svc.stats["eager_fires"] > eager_before or \
+        svc.stats["deadline_fires"] > 0
+    # a few warm steps, NOT the 8s SLA window (pre-r4 took >8s)
+    assert wall < max(4.0, 4 * warm_step), (
+        f"lone frame took {wall:.2f}s against an 8s SLA "
+        f"(warm step {warm_step:.2f}s)")
     # timing surface populated and ordered
     assert 0 < res.arrival_ts <= res.dispatch_ts <= res.resolve_ts
-    # queue wait is bounded by ~one dispatch cycle (~1s warm CPU step on
-    # a loaded host), NOT by the 8s SLA window
-    assert res.dispatch_ts - res.arrival_ts < 2.5
+    # queue wait is bounded by ~one dispatch cycle, NOT the SLA window
+    assert res.dispatch_ts - res.arrival_ts < max(2.5, 3 * warm_step)
 
 
 def test_deadline_aware_dispatch_meets_sla(svc):
@@ -242,13 +278,18 @@ def test_per_request_deadline_override(svc):
     svc.submit(sid, _frames(1, seed=97)[0],
                deadline_ms=400.0).result(timeout=300)  # warm compile
     t0 = time.perf_counter()
+    svc.submit(sid, _frames(1, seed=95)[0],
+               deadline_ms=400.0).result(timeout=300)
+    warm_step = time.perf_counter() - t0  # loaded-host step baseline
+    t0 = time.perf_counter()
     res = svc.submit(sid, _frames(1, seed=14)[0],
                      deadline_ms=400.0).result(timeout=300)
     wall = time.perf_counter() - t0
     svc.close_stream(sid)
-    # the tight per-request deadline drove dispatch, not the 60s SLA
-    assert wall < 5.0
-    assert res.dispatch_ts - res.arrival_ts < 0.5
+    # the tight per-request deadline drove dispatch, not the 60s SLA:
+    # bounds scale with measured load instead of absolute ceilings
+    assert wall < max(5.0, 4 * warm_step)
+    assert res.dispatch_ts - res.arrival_ts < max(0.5, 2 * warm_step)
 
 
 def test_wait_idle_blocks_until_drained(svc):
