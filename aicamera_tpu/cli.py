@@ -116,6 +116,13 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                              "stored int8 between conv fusions — the "
                              "forward is HBM-bound). Calibrates once at "
                              "startup on synthetic scenes. Default: bf16.")
+    parser.add_argument("--detect_dtype", type=str, default=None,
+                        choices=("bf16", "f32"),
+                        help="Detect-forward precision: default bf16 "
+                             "(TPU compute dtype); 'f32' makes NMS "
+                             "scores batch-shape-stable (exact agreement "
+                             "with batch-1 detection) at ~2x detect "
+                             "cost — for parity-critical runs.")
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")
@@ -234,6 +241,7 @@ def main(argv=None):
                     else args.reid_quant),
         yolo_quant=(None if args.yolo_quant in (None, "none")
                     else args.yolo_quant),
+        detect_dtype=args.detect_dtype,
         **extra,
     )
     print("Compiling fused detect+track step (cached after first run)...")

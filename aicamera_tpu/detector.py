@@ -37,10 +37,23 @@ class YOLODetector:
                  nms_threshold: float = config.YOLO_NMS_THRESHOLD,
                  variant: str = "n",
                  device=None,
-                 quant: str | None = None):
+                 quant: str | None = None,
+                 detect_dtype: str | None = None):
+        """``detect_dtype``: None/'bf16' (default TPU compute dtype) or
+        'f32' — full-precision detect forward. f32 scores are stable
+        across batch shapes (batch-1 vs chunk-96 compiles agree instead
+        of flipping near-tied NMS orderings at bf16's ~3 significant
+        digits) at ~2x forward cost; use for parity-critical runs
+        (scripts/clip_parity.py --f32_detect measures both sides)."""
         enable_persistent_cache()
         if quant not in (None, "", "none", "int8"):
             raise ValueError(f"quant must be None or 'int8' (got {quant!r})")
+        if detect_dtype not in (None, "bf16", "f32"):
+            raise ValueError(
+                f"detect_dtype must be None, 'bf16' or 'f32' "
+                f"(got {detect_dtype!r})")
+        if detect_dtype == "f32" and quant == "int8":
+            raise ValueError("detect_dtype='f32' and quant='int8' conflict")
         if quant == "int8" and is_engine_file(engine_path):
             raise ValueError("quant='int8' needs weights, not a serialized "
                              ".xlae engine (calibration happens at load)")
@@ -81,8 +94,11 @@ class YOLODetector:
                   f"'{self._serialized.name}' (XLA on "
                   f"{self.device.platform}). Input shape: {self.input_shape}")
             return
+        import jax.numpy as jnp
+        _dt = {None: None, "bf16": jnp.bfloat16,
+               "f32": jnp.float32}[detect_dtype]
         self.model, self.params = resolve_yolo_params(
-            variant, weights_path=engine_path)
+            variant, weights_path=engine_path, dtype=_dt)
         if quant == "int8":
             # static-calibrated W8A8 twin (models/quant_yolo.py), same
             # deterministic synthetic calibration as the pipeline's

@@ -109,10 +109,19 @@ def _validate_explicit(path: Path) -> None:
 
 
 def resolve_yolo_params(variant: str = "n", num_classes: int = 80,
-                        weights_path: str | None = None):
-    """Return (model, params) for the YOLOv8 detector."""
+                        weights_path: str | None = None,
+                        dtype=None):
+    """Return (model, params) for the YOLOv8 detector.
+
+    ``dtype`` overrides the compute dtype (default: bf16 on TPU). Params
+    are stored f32 either way — f32 compute ("detect_dtype='f32'" on the
+    detector/pipeline surfaces) trades ~2x MXU/HBM cost in the forward
+    for batch-shape-stable scores: bf16 activations quantize to ~3
+    significant digits, so near-tied NMS candidate scores flip order
+    between batch-1 and chunk-batch compiles (the production-pipeline /
+    facade divergence measured in docs/CLIP_PARITY_ADAPTED.md)."""
     model = YOLOv8(variant=variant, num_classes=num_classes,
-                   dtype=compute_dtype())
+                   dtype=dtype if dtype is not None else compute_dtype())
     template = template_params(
         model, jnp.zeros((1, 64, 64, 3), jnp.float32))
     if weights_path:

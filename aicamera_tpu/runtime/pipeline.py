@@ -157,7 +157,8 @@ class TrackingPipeline:
                  gmc: str | bool = False,
                  nsa: bool = False,
                  reid_quant: str | None = None,
-                 yolo_quant: str | None = None):
+                 yolo_quant: str | None = None,
+                 detect_dtype: str | None = None):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
@@ -249,7 +250,17 @@ class TrackingPipeline:
         scales per input channel. Calibration happens once at
         construction over deterministic synthetic scenes; detections
         differ slightly from bf16 (quantization noise), so this is
-        opt-in — quality gates live in benchmark config 28."""
+        opt-in — quality gates live in benchmark config 28.
+
+        ``detect_dtype``: ``"f32"`` runs the detect forward (preprocess,
+        backbone, head, decode, NMS scoring) in full precision instead
+        of the backend compute dtype (bf16 on TPU). bf16 activations
+        carry ~3 significant digits, so near-tied candidate scores flip
+        NMS ordering between batch shapes (chunk-96 here vs the batch-1
+        facade — the agreement gap measured in
+        docs/CLIP_PARITY_ADAPTED.md); f32 scores are batch-shape-stable
+        at ~2x detect-forward cost. The ReID embed stage keeps bf16
+        either way. Opt-in for parity-critical deployments."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
         if self.tracker_kind == "strongsort":
@@ -362,8 +373,18 @@ class TrackingPipeline:
                             if preprocess_impl == "pallas"
                             else preprocess_yolo)
         self.with_reid = with_reid
+        if detect_dtype not in (None, "bf16", "f32"):
+            raise ValueError(f"detect_dtype must be None, 'bf16' or 'f32' "
+                             f"(got {detect_dtype!r})")
+        if detect_dtype == "f32" and yolo_quant == "int8":
+            raise ValueError("detect_dtype='f32' and yolo_quant='int8' "
+                             "conflict")
+        import jax.numpy as _jnp
+        self.detect_dtype = detect_dtype
+        _yolo_dt = {None: None, "bf16": _jnp.bfloat16,
+                    "f32": _jnp.float32}[detect_dtype]
         self.yolo, self.yolo_params = resolve_yolo_params(
-            variant, weights_path=yolo_weights)
+            variant, weights_path=yolo_weights, dtype=_yolo_dt)
         self.reid, self.reid_params = resolve_reid_params(
             weights_path=reid_weights)
         if reid_quant not in (None, "", "none", "int8"):

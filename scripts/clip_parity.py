@@ -180,7 +180,7 @@ def run_parity(frames_bgr, detections, *, reid_weights, min_conf,
 
 def pipeline_check(frames_bgr, facade_per_frame, *, yolo_weights,
                    reid_weights, conf, min_conf, max_tracks=None,
-                   chunk_size=96):
+                   chunk_size=96, detect_dtype=None):
     """Run the production chunked TrackingPipeline over the same frames and
     compare its emitted tracks against the facade's (== the reference's).
 
@@ -206,10 +206,13 @@ def pipeline_check(frames_bgr, facade_per_frame, *, yolo_weights,
     pipe = TrackingPipeline(
         yolo_weights=yolo_weights, reid_weights=reid_weights,
         conf_threshold=conf, min_detection_confidence=min_conf,
-        tracker_params=tp, chunk_size=chunk_size)
+        tracker_params=tp, chunk_size=chunk_size,
+        detect_dtype=detect_dtype)
     id_same = box_same = 0
     rows_matched = rows_total = 0
     examples = []
+    pipe.warm_up(frames_bgr[0].shape[:2])
+    t0 = time.perf_counter()
     for fi, res in enumerate(pipe.process_frames(iter(frames_bgr))):
         pt = sorted(res.tracks, key=lambda r: r[4])
         ft = facade_per_frame[fi]
@@ -233,10 +236,13 @@ def pipeline_check(frames_bgr, facade_per_frame, *, yolo_weights,
         rows_total += max(len(pt), len(ft))
         if not ids_ok and len(examples) < 5:
             examples.append((fi, [t[4] for t in pt], [t[4] for t in ft]))
+    wall = time.perf_counter() - t0
     n = len(facade_per_frame)
     return {"frames": n, "id_identical_frames": id_same,
             "box_identical_frames": box_same,
             "rows_matched": rows_matched, "rows_total": rows_total,
+            "wall_fps": n / max(wall, 1e-9),
+            "detect_dtype": detect_dtype or "bf16",
             "examples": examples}
 
 
@@ -276,7 +282,19 @@ def main():
                     help="also run the chunked TrackingPipeline over the "
                          "same frames and measure agreement with the "
                          "facade/reference chain")
+    ap.add_argument("--f32_detect", action="store_true",
+                    help="run BOTH detect paths (the batch-1 facade pass "
+                         "and the chunked pipeline) with the f32 detect "
+                         "forward instead of bf16 — the batch-shape "
+                         "numerics A/B: bf16 near-tied NMS scores flip "
+                         "ordering between batch shapes; f32 scores are "
+                         "stable. Compare the pipeline agreement and "
+                         "wall FPS against the default run.")
+    ap.add_argument("--json_out", default="",
+                    help="append the run's metrics as one JSON line to "
+                         "this file (the CI agreement floor reads it)")
     args = ap.parse_args()
+    detect_dtype = "f32" if args.f32_detect else None
 
     from aicamera_tpu.detector import YOLODetector
 
@@ -314,7 +332,8 @@ def main():
               f"for {len(detections)} frames from {args.from_dump}")
     else:
         det = YOLODetector(engine_path=args.weights,
-                           conf_threshold=args.conf)
+                           conf_threshold=args.conf,
+                           detect_dtype=detect_dtype)
         detections = []
         t0 = time.perf_counter()
         for fi, f in enumerate(frames):
@@ -374,15 +393,40 @@ def main():
                             yolo_weights=args.weights,
                             reid_weights=args.reid_weights,
                             conf=args.conf, min_conf=args.min_conf,
-                            max_tracks=args.max_tracks)
-        print(f"pipeline: {pc['id_identical_frames']}/{pc['frames']} frames "
+                            max_tracks=args.max_tracks,
+                            detect_dtype=detect_dtype)
+        print(f"pipeline[{pc['detect_dtype']}]: "
+              f"{pc['id_identical_frames']}/{pc['frames']} frames "
               f"with identical track-ID sequences, "
               f"{pc['box_identical_frames']} also box-identical (<=1px); "
               f"box rows matched ignoring IDs: {pc['rows_matched']}/"
               f"{pc['rows_total']} "
-              f"({100 * pc['rows_matched'] / max(pc['rows_total'], 1):.1f}%)")
+              f"({100 * pc['rows_matched'] / max(pc['rows_total'], 1):.1f}%); "
+              f"pipeline wall {pc['wall_fps']:.0f} FPS")
         for fi, pids, fids in pc["examples"]:
             print(f"  frame {fi}: pipeline ids {pids} vs facade {fids}")
+
+    if args.json_out:
+        import json as _json
+        line = {"clip": str(Path(args.input).name),
+                "weights": str(Path(args.weights).name),
+                "detect_dtype": detect_dtype or "bf16",
+                "frames": rep["frames"],
+                "mismatched_frames": rep["mismatched_frames"]}
+        if pc is not None:
+            line.update(
+                id_identical_frames=pc["id_identical_frames"],
+                box_identical_frames=pc["box_identical_frames"],
+                rows_matched=pc["rows_matched"],
+                rows_total=pc["rows_total"],
+                row_agreement=round(
+                    pc["rows_matched"] / max(pc["rows_total"], 1), 4),
+                pipeline_wall_fps=round(pc["wall_fps"], 1))
+        out = Path(args.json_out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "a") as f:
+            f.write(_json.dumps(line) + "\n")
+        print(f"metrics appended -> {out}")
 
     if args.report:
         path = Path(args.report)

@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--devices_per_proc", type=int, default=None)
     ap.add_argument("--total_devices", type=int, default=16)
     ap.add_argument("--port", type=int, default=19733)
+    ap.add_argument("--world", choices=("full", "tiny"), default="full",
+                    help="'tiny' shrinks scene/input shapes (48x64 world, "
+                         "64x64 input) so the driver's cross-process "
+                         "dryrun compiles fast; 'full' (default) is the "
+                         "shape the equality test pins.")
     args = ap.parse_args()
 
     per = args.devices_per_proc or args.total_devices // args.nprocs
@@ -66,8 +71,12 @@ def main():
     from aicamera_tpu.synthetic import WorldSpec
     from aicamera_tpu.train import TrainConfig, make_train_step_dp
 
-    world = WorldSpec(hw=(96, 128), max_objects=3, presence=1.0)
-    input_hw = (128, 128)
+    if args.world == "tiny":
+        world = WorldSpec(hw=(48, 64), max_objects=3, presence=1.0)
+        input_hw = (64, 64)
+    else:
+        world = WorldSpec(hw=(96, 128), max_objects=3, presence=1.0)
+        input_hw = (128, 128)
     cfg = TrainConfig(batch=args.total_devices, steps=1, scan=1,
                       lr=1e-3, warmup=1, seed=7)
     model = YOLOv8(variant="n", num_classes=80, dtype=jnp.float32)

@@ -40,11 +40,99 @@ jax.config.update("jax_platforms", "cpu")
 # jax version — only the explicit config update enables the cache.
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 # 5s floor: only the expensive programs (convs ~7s) are worth caching;
-# tiny eager-op programs just churn the cache dir. NOTE this floor does
-# NOT prevent the XLA:CPU AOT serializer segfault on the large
-# bucketed-scan executables — that is handled by disabling the cache for
-# the affected module (tests/test_scan_bucket_impl.py fixture).
+# tiny eager-op programs just churn the cache dir.
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+# --- fork-isolated persistent-cache writes ---------------------------------
+# XLA:CPU's AOT serializer flakily segfaults (rc=139 inside
+# put_executable_and_time) on very large executables in LONG-LIVED suite
+# processes — observed on the bucketed-scan and masked multistream-serving
+# steps — while short-lived processes serialize the same programs cleanly.
+# r4 handled this with per-module cache-off fixtures (3 modules, cold
+# recompiles every run). The structural fix: every cache write runs in a
+# forked child process — a serializer crash kills the disposable child
+# (that entry is simply not cached), successful writes land in the shared
+# on-disk cache (jax's write path is atomic-rename, so concurrent writers
+# are safe), and the suite process itself never executes the serializer.
+# Writes are asynchronous (the parent does not wait), which also removes
+# serialization time from the suite's critical path. compiler.py calls
+# put_executable_and_time via module-attribute lookup, so rebinding the
+# attribute takes effect everywhere.
+import atexit  # noqa: E402
+import signal  # noqa: E402
+import time  # noqa: E402
+import warnings as _warnings  # noqa: E402
+
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+import threading as _threading  # noqa: E402
+
+_orig_put = _cc.put_executable_and_time
+_pending_cache_writers: list = []
+_writers_lock = _threading.Lock()  # puts fire from worker threads too
+_MAX_WRITERS = 3           # hung children must not pile up
+_WRITER_TIMEOUT_S = 180.0  # big-entry zstd+write is seconds, not minutes
+
+
+def _writer_finished(pid: int, started: float, kill: bool = False) -> bool:
+    """Non-blocking reap; True when the child is gone. Kills children past
+    their deadline (or on request) — a deadlocked child (fork while some
+    unrelated thread held a lock) must not pile up or block exit."""
+    try:
+        if kill or time.monotonic() - started > _WRITER_TIMEOUT_S:
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
+            return True
+        done, _ = os.waitpid(pid, os.WNOHANG)
+        return bool(done)
+    except OSError:  # already reaped / gone
+        return True
+
+
+def _reap_writers() -> None:
+    with _writers_lock:
+        _pending_cache_writers[:] = [
+            (p, s) for p, s in _pending_cache_writers
+            if not _writer_finished(p, s)]
+
+
+def _drain_writers_at_exit() -> None:
+    deadline = time.monotonic() + _WRITER_TIMEOUT_S
+    while _pending_cache_writers and time.monotonic() < deadline:
+        _reap_writers()
+        if _pending_cache_writers:
+            time.sleep(0.1)
+    for pid, started in _pending_cache_writers:
+        _writer_finished(pid, started, kill=True)
+    _pending_cache_writers.clear()
+
+
+def _fork_isolated_put(cache_key, module_name, executable, backend,
+                       compile_time):
+    _reap_writers()
+    while len(_pending_cache_writers) >= _MAX_WRITERS:
+        time.sleep(0.05)  # bounded: each child dies by _WRITER_TIMEOUT_S
+        _reap_writers()
+    with _warnings.catch_warnings():
+        # Python 3.12 warns on fork() in multi-threaded processes; the
+        # child only serializes bytes and _exit()s, never runs user code.
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        pid = os.fork()
+    if pid == 0:  # child: write the entry, then vanish without teardown
+        code = 0
+        try:
+            _orig_put(cache_key, module_name, executable, backend,
+                      compile_time)
+        except BaseException:  # noqa: BLE001 - child reports via exit code
+            code = 1
+        finally:
+            os._exit(code)
+    with _writers_lock:
+        _pending_cache_writers.append((pid, time.monotonic()))
+
+
+_cc.put_executable_and_time = _fork_isolated_put
+atexit.register(_drain_writers_at_exit)
 
 # Not auto-collected: test_scan_bucket.py runs it in an ISOLATED
 # subprocess. XLA:CPU flakily segfaults on this module's large

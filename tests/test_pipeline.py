@@ -543,3 +543,26 @@ def test_process_chunks_rejects_oversize_chunk(pipeline):
     pipeline.reset()
     with pytest.raises(ValueError, match="exceeds"):
         list(pipeline.process_chunks(iter([frames])))
+
+
+def test_detect_dtype_f32_option():
+    """detect_dtype='f32' builds the detect forward in full precision
+    (batch-shape-stable NMS scores — the clip_parity --f32_detect A/B);
+    invalid values and the int8 conflict fail loudly."""
+    import jax.numpy as jnp
+    from aicamera_tpu.detector import YOLODetector
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    pipe = TrackingPipeline(input_shape=INPUT_HW, tracker_params=SMALL_TP,
+                            max_reid_crops=4, chunk_size=2,
+                            detect_dtype="f32")
+    assert pipe.yolo.dtype == jnp.float32 and pipe._dtype == jnp.float32
+    results = list(pipe.process_frames(iter(_frames(2, seed=5))))
+    assert len(results) == 2
+    det = YOLODetector(input_shape=INPUT_HW, detect_dtype="f32")
+    assert det.model.dtype == jnp.float32
+    boxes, scores, cls, _ = det.detect(_frames(1, seed=6)[0])
+    assert boxes.shape[1] == 4 and len(scores) == len(cls)
+    with pytest.raises(ValueError, match="detect_dtype"):
+        TrackingPipeline(detect_dtype="fp64")
+    with pytest.raises(ValueError, match="conflict"):
+        TrackingPipeline(detect_dtype="f32", yolo_quant="int8")

@@ -21,32 +21,12 @@ import jax
 import jax.numpy as jnp
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """Persistent compile cache OFF for this module only.
-
-    The large bucketed-scan executables compiled here reproducibly
-    segfault XLA:CPU's AOT serializer (jax 0.9.0): suite runs on
-    2026-08-19/20 died at this module inside put/get_executable_and_time
-    (serialize on write, deserialize on read), while a cache-disabled run
-    completed cleanly. Everything else keeps the warm cache; this module
-    pays its compile time each run.
-
-    The config flip alone is NOT enough mid-suite: jax memoizes the
-    cache-enabled decision per process (compilation_cache.is_cache_used's
-    _cache_checked global), so after any earlier test compiled through
-    the cache the flag flip is silently ignored — which is exactly how
-    the full suite kept segfaulting here while this module passed
-    standalone. reset_cache() clears that memoization (and the cache
-    object); a second reset on teardown lets the rest of the suite
-    re-adopt the warm cache."""
-    from jax._src import compilation_cache as _cc
-    jax.config.update("jax_enable_compilation_cache", False)
-    _cc.reset_cache()
-    yield
-    jax.config.update("jax_enable_compilation_cache", True)
-    _cc.reset_cache()
-
+# NOTE: this module previously carried a cache-off fixture for the
+# XLA:CPU AOT-serializer segfault on its large bucketed-scan
+# executables; conftest.py now fork-isolates every cache write
+# (a serializer crash kills a disposable child, not the suite), and
+# this module additionally runs in its own short-lived subprocess
+# (test_scan_bucket.py), which has always been clean.
 from aicamera_tpu.core import (TrackerParams, init_state, make_detections,
                                predict, update)
 from aicamera_tpu.core.state import slice_tracks, splice_tracks

@@ -12,24 +12,8 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """Persistent compile cache OFF for this module only: XLA:CPU's AOT
-    serializer flakily aborts on this module's very large scanned
-    fwd+bwd executables in long-lived suite processes (cold-cache run
-    2026-08-21 died with SIGABRT inside
-    compilation_cache.put_executable_and_time at test_train_dp — same
-    family as the bucketed-scan/serving segfaults, see
-    tests/test_scan_bucket_impl.py). reset_cache() makes the flip
-    effective mid-suite; teardown restores the warm cache for the rest
-    of the suite."""
-    from jax._src import compilation_cache as _cc
-    jax.config.update("jax_enable_compilation_cache", False)
-    _cc.reset_cache()
-    yield
-    jax.config.update("jax_enable_compilation_cache", True)
-    _cc.reset_cache()
-
+# (cache-off fixture removed: conftest.py fork-isolates persistent-
+# cache writes, so the AOT-serializer flake cannot kill the suite.)
 
 
 def test_pseudo_labels_temporal_consistency_filter():

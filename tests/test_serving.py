@@ -19,25 +19,10 @@ FRAME_HW = (96, 128)
 INPUT_HW = (128, 128)
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compile_cache():
-    """Persistent compile cache OFF for this module only.
-
-    Same flaky XLA:CPU AOT-serializer segfault as the bucketed-scan
-    module (see tests/test_scan_bucket_impl.py's identical fixture): a
-    full-suite run on 2026-08-20 died inside
-    compilation_cache.put_executable_and_time while the serving worker
-    thread compiled the masked multistream chunk step
-    (multistream.py::step_chunk -> serving.py::_run), while standalone
-    runs of this module pass. reset_cache() clears jax's memoized
-    cache-enabled decision so the flip takes effect mid-suite; the
-    teardown reset lets the rest of the suite re-adopt the warm cache."""
-    from jax._src import compilation_cache as _cc
-    jax.config.update("jax_enable_compilation_cache", False)
-    _cc.reset_cache()
-    yield
-    jax.config.update("jax_enable_compilation_cache", True)
-    _cc.reset_cache()
+# (cache-off fixture removed: conftest.py fork-isolates persistent-
+# cache writes — the serving worker thread's big masked-multistream
+# compiles now cache safely; a serializer crash kills only the
+# disposable writer child.)
 
 
 def _frames(n, seed=0):
