@@ -123,6 +123,12 @@ def parse_arguments(argv=None) -> argparse.Namespace:
                              "scores batch-shape-stable (exact agreement "
                              "with batch-1 detection) at ~2x detect "
                              "cost — for parity-critical runs.")
+    parser.add_argument("--reid_dtype", type=str, default=None,
+                        choices=("bf16", "f32"),
+                        help="ReID-embed precision: 'f32' makes features "
+                             "stable across embed batch shapes (the "
+                             "other half of the parity mode with "
+                             "--detect_dtype f32).")
     parser.add_argument("--input_shape", type=int, default=None,
                         help="Detector input size (square; default "
                              f"{config.YOLO_INPUT_SHAPE[0]}).")
@@ -242,6 +248,7 @@ def main(argv=None):
         yolo_quant=(None if args.yolo_quant in (None, "none")
                     else args.yolo_quant),
         detect_dtype=args.detect_dtype,
+        reid_dtype=args.reid_dtype,
         **extra,
     )
     print("Compiling fused detect+track step (cached after first run)...")

@@ -150,10 +150,14 @@ def resolve_yolo_params(variant: str = "n", num_classes: int = 80,
     return model, template
 
 
-def resolve_reid_params(weights_path: str | None = None):
-    """Return (model, params) for the ReID embedder."""
+def resolve_reid_params(weights_path: str | None = None, dtype=None):
+    """Return (model, params) for the ReID embedder. ``dtype`` overrides
+    the compute dtype (see :func:`resolve_yolo_params` — same
+    batch-shape-stability rationale for the embed stage, whose batch
+    shape differs between the facade's fixed per-frame bucket and the
+    pipeline's chunk-fused load-adaptive buckets)."""
     model = ReIDNet(feature_dim=config.REID_FEATURE_DIM,
-                    dtype=compute_dtype())
+                    dtype=dtype if dtype is not None else compute_dtype())
     template = template_params(
         model, jnp.zeros((1, *config.REID_INPUT_SHAPE, 3), jnp.float32))
     if weights_path:

@@ -158,7 +158,8 @@ class TrackingPipeline:
                  nsa: bool = False,
                  reid_quant: str | None = None,
                  yolo_quant: str | None = None,
-                 detect_dtype: str | None = None):
+                 detect_dtype: str | None = None,
+                 reid_dtype: str | None = None):
         """``synthetic_load=n`` fills the first n detection slots of every
         frame with synthetic tiled boxes (class person, conf 0.5) after
         NMS, regardless of what the detector found. This saturates the
@@ -259,8 +260,17 @@ class TrackingPipeline:
         NMS ordering between batch shapes (chunk-96 here vs the batch-1
         facade — the agreement gap measured in
         docs/CLIP_PARITY_ADAPTED.md); f32 scores are batch-shape-stable
-        at ~2x detect-forward cost. The ReID embed stage keeps bf16
-        either way. Opt-in for parity-critical deployments."""
+        at ~2x detect-forward cost. Opt-in for parity-critical
+        deployments.
+
+        ``reid_dtype``: the same option for the ReID embed stage. The
+        facade embeds a fixed per-frame crop bucket while the chunked
+        pipeline embeds load-adaptive buckets fused across the chunk —
+        different batch shapes, so bf16 features differ in low bits and
+        near-tied appearance costs flip assignments. ``"f32"`` makes the
+        embed batch-shape-stable; combine with ``detect_dtype="f32"``
+        (and ``preprocess_impl="xla"``) for the full parity mode
+        measured in docs/CLIP_PARITY_ADAPTED.md."""
         enable_persistent_cache()
         self.tracker_kind = str(tracker)
         if self.tracker_kind == "strongsort":
@@ -383,10 +393,19 @@ class TrackingPipeline:
         self.detect_dtype = detect_dtype
         _yolo_dt = {None: None, "bf16": _jnp.bfloat16,
                     "f32": _jnp.float32}[detect_dtype]
+        if reid_dtype not in (None, "bf16", "f32"):
+            raise ValueError(f"reid_dtype must be None, 'bf16' or 'f32' "
+                             f"(got {reid_dtype!r})")
+        if reid_dtype == "f32" and reid_quant == "int8":
+            raise ValueError("reid_dtype='f32' and reid_quant='int8' "
+                             "conflict")
+        self.reid_dtype = reid_dtype
+        _reid_dt = {None: None, "bf16": _jnp.bfloat16,
+                    "f32": _jnp.float32}[reid_dtype]
         self.yolo, self.yolo_params = resolve_yolo_params(
             variant, weights_path=yolo_weights, dtype=_yolo_dt)
         self.reid, self.reid_params = resolve_reid_params(
-            weights_path=reid_weights)
+            weights_path=reid_weights, dtype=_reid_dt)
         if reid_quant not in (None, "", "none", "int8"):
             raise ValueError(
                 f"reid_quant must be None or 'int8' (got {reid_quant!r})")

@@ -40,13 +40,24 @@ class ReIDModel:
                  engine_path: str | None = None,
                  input_shape: Tuple[int, int] = config.REID_INPUT_SHAPE,
                  device=None,
-                 quant: str | None = None):
+                 quant: str | None = None,
+                 reid_dtype: str | None = None):
+        """``reid_dtype='f32'``: full-precision embed forward — features
+        become stable across embed batch shapes (see
+        TrackingPipeline(reid_dtype=...)); default is the backend compute
+        dtype (bf16 on TPU)."""
         enable_persistent_cache()
         self.input_shape = tuple(input_shape)
         self.device = device or jax.devices()[0]
         self._serialized: SerializedEngine | None = None
         if quant not in (None, "", "none", "int8"):
             raise ValueError(f"quant must be None or 'int8' (got {quant!r})")
+        if reid_dtype not in (None, "bf16", "f32"):
+            raise ValueError(f"reid_dtype must be None, 'bf16' or 'f32' "
+                             f"(got {reid_dtype!r})")
+        if reid_dtype == "f32" and quant == "int8":
+            raise ValueError("reid_dtype='f32' and quant='int8' conflict")
+        self._reid_dtype = reid_dtype
         if quant == "int8" and is_engine_file(engine_path):
             raise ValueError("quant='int8' needs weights, not a serialized "
                              ".xlae engine (quantization happens at load)")
@@ -63,7 +74,10 @@ class ReIDModel:
             eng = self._serialized
             self._apply = lambda params, x: eng(x.astype(jnp.float32))
         else:
-            self.model, self.params = resolve_reid_params(engine_path)
+            _dt = {None: None, "bf16": jnp.bfloat16,
+                   "f32": jnp.float32}[reid_dtype]
+            self.model, self.params = resolve_reid_params(engine_path,
+                                                          dtype=_dt)
             self.feature_dim = config.REID_FEATURE_DIM
             if quant == "int8":
                 # W8A8 post-training quantization (models/quant.py): the
@@ -176,7 +190,8 @@ class DeepSORT:
                  ema_alpha: float = 0.9,
                  gmc: str | bool = False,
                  nsa: bool = False,
-                 reid_quant: str | None = None):
+                 reid_quant: str | None = None,
+                 reid_dtype: str | None = None):
         """Deviation from the reference: ``nn_budget=None`` means an
         unlimited feature gallery there (tracker_core.py:20), but the
         fixed-shape device state needs a static ring size, so ``None`` is
@@ -250,7 +265,8 @@ class DeepSORT:
         self._capture = bool(capture_features)
         self.reid_model = ReIDModel(engine_path=reid_model_path,
                                     input_shape=reid_input_shape,
-                                    quant=reid_quant)
+                                    quant=reid_quant,
+                                    reid_dtype=reid_dtype)
         self.state = core_state.init_state(self.params)
         self.frame_count = 0
         self._steps = {}

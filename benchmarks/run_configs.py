@@ -29,6 +29,9 @@
  27. Int8 (W8A8) ReID A/B: raw crops/s, worst-case FPS, quality gates
  28. Int8 static-calibrated detector A/B: raw fwd, clip FPS, AP50 gate
  29. Crowd-scale quality: ~85 live identities, MOT/HOTA at 192 slots
+     (all four tracker families; crowd ReID checkpoint when present)
+ 30. Track-table overflow under scoring: >=128 visible identities vs 192
+     slots, with a 384-slot headroom control isolating the overflow cost
 
 Usage:  python benchmarks/run_configs.py --config 3 [--frames 500]
         python benchmarks/run_configs.py --all [--out results.jsonl]
@@ -1617,13 +1620,20 @@ def config29_crowd_quality(frames_n=192, score_frames=144):
     from aicamera_tpu import config as cfg
     from aicamera_tpu.core.state import TrackerParams
     from aicamera_tpu.core.bytetrack import ByteTrackParams
+    from aicamera_tpu.core.ocsort import OCSortParams
     from aicamera_tpu.runtime.pipeline import TrackingPipeline
     from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
 
     root = Path(__file__).resolve().parent.parent
     crowd_w = root / "models" / "detection" / \
         "yolov8n_synthetic_crowd.msgpack"
-    reid_w = root / "models" / "reid" / "deepsort_reid_synthetic.msgpack"
+    # crowd-fine-tuned embedder when present (VERDICT r4 #3) — small
+    # occluded crops are where the base embedder is out-of-domain
+    reid_crowd = root / "models" / "reid" / \
+        "deepsort_reid_synthetic_crowd.msgpack"
+    reid_w = (reid_crowd if reid_crowd.exists()
+              else root / "models" / "reid"
+              / "deepsort_reid_synthetic.msgpack")
     if not crowd_w.exists():
         print(json.dumps({"config": "29_crowd_quality", "value": None,
                           "note": "crowd checkpoint missing — run "
@@ -1650,6 +1660,9 @@ def config29_crowd_quality(frames_n=192, score_frames=144):
     gt_live = [len(b) for b, _ in gt]
 
     from aicamera_tpu.eval import evaluate_hota, evaluate_mot
+    # all four shipped tracker families at crowd density (VERDICT r4 #3):
+    # motion-only (bytetrack) vs the three appearance trackers, whose
+    # min(iou, emb) fusion is exactly what the crowd embedder should arm
     for name, kwargs in (
             ("deepsort",
              {"tracker_params": TrackerParams(
@@ -1660,7 +1673,23 @@ def config29_crowd_quality(frames_n=192, score_frames=144):
             ("bytetrack",
              {"tracker": "bytetrack",
               "bytetrack_params": ByteTrackParams(
-                  max_tracks=192, max_detections=100)})):
+                  max_tracks=192, max_detections=100)}),
+            ("botsort",
+             {"tracker": "botsort",
+              "bytetrack_params": ByteTrackParams(
+                  max_tracks=192, max_detections=100,
+                  with_appearance=True,
+                  feature_dim=cfg.REID_FEATURE_DIM),
+              "reid_weights": str(reid_w) if reid_w.exists() else None,
+              "max_reid_crops": 64}),
+            ("deepocsort",
+             {"tracker": "deepocsort",
+              "ocsort_params": OCSortParams(
+                  max_tracks=192, max_detections=100,
+                  with_appearance=True,
+                  feature_dim=cfg.REID_FEATURE_DIM),
+              "reid_weights": str(reid_w) if reid_w.exists() else None,
+              "max_reid_crops": 64})):
         pipe = TrackingPipeline(chunk_size=48, yolo_weights=str(crowd_w),
                                 **kwargs)
         runs, n = _timed_run(pipe, arr, k=48)
@@ -1696,10 +1725,118 @@ def config29_crowd_quality(frames_n=192, score_frames=144):
               active_slots_final=active_slots,
               gt_visible_mean=round(float(np.mean(gt_live)), 1),
               track_slots=192, det_slate=100,
+              reid_checkpoint=(reid_w.name if reid_w.exists() else None),
               note="128-slot crowd world (0.45 size scale, presence "
                    "0.95 eval vs 0.9 training); bucketed-scan overflow "
                    "paths active (scan_bucket 32 << live tracks); "
-                   "DeepSORT embeds a 64-crop bucket per frame")
+                   "appearance trackers embed a 64-crop bucket per frame")
+
+
+def config30_crowd_overflow(frames_n=160, score_frames=144):
+    """Track-table OVERFLOW under scoring (VERDICT r4 #4): a crowd world
+    whose visible identity count exceeds what 192 slots can comfortably
+    hold (224 slots at 0.35 size scale, presence 0.95 — target >= 128
+    concurrently visible), tracked at the SAME 192-slot table config 29
+    uses, plus a 384-slot headroom CONTROL run of the same tracker on
+    the identical frames. The quality delta between the two rows is the
+    measured cost of the overflow policy.
+
+    OVERFLOW POLICY (documented): the slot allocator places each new
+    tentative track at the lowest free slot; when no slot is free the
+    detection initiates NOTHING that frame and the per-state ``dropped``
+    counter increments (core/tracker.py::_initiate — the reference's
+    unbounded Python list simply grows, src/tracker/core/
+    tracker_core.py:180-193). Existing tracks are never evicted to make
+    room: a confirmed track's slot frees only through the reference
+    lifecycle (tentative miss, or tsu > max_age). The detection slate
+    itself stays at the reference engine's 100-box NMS contract, so at
+    >= 128 visible identities the detector under-reports every frame —
+    which frames rotate through the slate is exactly the churn that
+    pressures the table."""
+    import numpy as np
+    from aicamera_tpu import config as cfg
+    from aicamera_tpu.core.state import TrackerParams
+    from aicamera_tpu.core.bytetrack import ByteTrackParams
+    from aicamera_tpu.runtime.pipeline import TrackingPipeline
+    from aicamera_tpu.synthetic import TemporalWorld, WorldSpec
+
+    root = Path(__file__).resolve().parent.parent
+    crowd_w = root / "models" / "detection" / \
+        "yolov8n_synthetic_crowd.msgpack"
+    reid_crowd = root / "models" / "reid" / \
+        "deepsort_reid_synthetic_crowd.msgpack"
+    reid_w = (reid_crowd if reid_crowd.exists()
+              else root / "models" / "reid"
+              / "deepsort_reid_synthetic.msgpack")
+    if not crowd_w.exists():
+        print(json.dumps({"config": "30_crowd_overflow", "value": None,
+                          "note": "crowd checkpoint missing — run "
+                                  "scripts/train_synthetic.py --crowd"}))
+        return
+
+    spec = WorldSpec(max_objects=224, presence=0.95, size_scale=0.35,
+                     occlusion_aware_gt=True)
+    world = TemporalWorld(spec, seed=13, speed=3.0)
+    frames, gt = [], []
+    for _ in range(frames_n):
+        f, b, ids, cls, v = world.step()
+        frames.append(f)
+        gt.append((b[v], ids[v]))
+    arr = np.stack(frames)
+    gt_live = [len(b) for b, _ in gt]
+
+    from aicamera_tpu.eval import evaluate_hota, evaluate_mot
+    import jax as _jax
+    for name, slots in (("deepsort_192", 192), ("deepsort_384_control",
+                                                384),
+                        ("bytetrack_192", None)):
+        if slots is None:
+            kwargs = {"tracker": "bytetrack",
+                      "bytetrack_params": ByteTrackParams(
+                          max_tracks=192, max_detections=100)}
+            slots = 192
+        else:
+            kwargs = {"tracker_params": TrackerParams(
+                max_tracks=slots, max_detections=100,
+                feature_dim=cfg.REID_FEATURE_DIM),
+                "reid_weights": str(reid_w) if reid_w.exists() else None,
+                "max_reid_crops": 64}
+        pipe = TrackingPipeline(chunk_size=48, yolo_weights=str(crowd_w),
+                                **kwargs)
+        runs, n = _timed_run(pipe, arr, k=48)
+        pipe.reset()
+        hyp = []
+        for res in pipe.process_frames(iter(list(arr[:score_frames]))):
+            if res.tracks:
+                hyp.append((np.asarray([t[:4] for t in res.tracks],
+                                       np.float32),
+                            np.asarray([t[4] for t in res.tracks],
+                                       np.int64)))
+            else:
+                hyp.append((np.zeros((0, 4), np.float32),
+                            np.zeros((0,), np.int64)))
+        live = [len(h[1]) for h in hyp[5:]]
+        active_slots = int(np.asarray(
+            _jax.device_get(pipe.state.active)).sum())
+        dropped = int(np.asarray(_jax.device_get(pipe.state.dropped)))
+        mot = evaluate_mot(gt[5:score_frames], hyp[5:score_frames])
+        hota = evaluate_hota(gt[5:score_frames], hyp[5:score_frames])
+        _emit(f"30_crowd_overflow_{name}", runs[1], frames=n,
+              method="median_of_3",
+              mota=round(mot.mota, 3), motp=round(mot.motp, 3),
+              id_switches=mot.id_switches, hota=round(hota.hota, 3),
+              ass_a=round(hota.ass_a, 3),
+              live_tracks_mean=round(float(np.mean(live)), 1),
+              live_tracks_max=int(np.max(live)),
+              active_slots_final=active_slots,
+              dropped_detections=dropped,
+              gt_visible_mean=round(float(np.mean(gt_live)), 1),
+              track_slots=slots, det_slate=100,
+              reid_checkpoint=(reid_w.name if reid_w.exists() else None),
+              note="224-slot world @ 0.35 scale; overflow policy: "
+                   "table-full drops new tentatives (dropped counter), "
+                   "never evicts live tracks; 384-slot control row "
+                   "isolates the overflow cost")
 
 
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
@@ -1716,7 +1853,8 @@ CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
            23: config23_strongsort_trained,
            24: config24_deepocsort_trained, 25: config25_tiled_4k,
            26: config26_serving, 27: config27_int8_reid,
-           28: config28_int8_yolo, 29: config29_crowd_quality}
+           28: config28_int8_yolo, 29: config29_crowd_quality,
+           30: config30_crowd_overflow}
 
 
 def main():

@@ -73,7 +73,7 @@ def our_lifecycle(ds):
 
 
 def run_parity(frames_bgr, detections, *, reid_weights, min_conf,
-               max_tracks=None, progress=True):
+               max_tracks=None, progress=True, reid_dtype=None):
     """Drive both trackers with identical detections; return a report dict.
 
     ``detections`` is a list of (boxes_xyxy, scores, class_ids) per frame
@@ -96,7 +96,7 @@ def run_parity(frames_bgr, detections, *, reid_weights, min_conf,
                   min_detection_confidence=min_conf,
                   nn_budget=config.DEEPSORT_NN_BUDGET,
                   max_tracks=max_tracks or config.MAX_TRACKS,
-                  capture_features=True)
+                  capture_features=True, reid_dtype=reid_dtype)
     ref = TrackerCore(
         max_cosine_distance=config.DEEPSORT_MAX_DIST,
         nn_budget=config.DEEPSORT_NN_BUDGET,
@@ -180,7 +180,9 @@ def run_parity(frames_bgr, detections, *, reid_weights, min_conf,
 
 def pipeline_check(frames_bgr, facade_per_frame, *, yolo_weights,
                    reid_weights, conf, min_conf, max_tracks=None,
-                   chunk_size=96, detect_dtype=None):
+                   chunk_size=96, detect_dtype=None,
+                   preprocess_impl="auto", reid_dtype=None,
+                   scan_bucket=32):
     """Run the production chunked TrackingPipeline over the same frames and
     compare its emitted tracks against the facade's (== the reference's).
 
@@ -207,7 +209,8 @@ def pipeline_check(frames_bgr, facade_per_frame, *, yolo_weights,
         yolo_weights=yolo_weights, reid_weights=reid_weights,
         conf_threshold=conf, min_detection_confidence=min_conf,
         tracker_params=tp, chunk_size=chunk_size,
-        detect_dtype=detect_dtype)
+        detect_dtype=detect_dtype, preprocess_impl=preprocess_impl,
+        reid_dtype=reid_dtype, scan_bucket=scan_bucket)
     id_same = box_same = 0
     rows_matched = rows_total = 0
     examples = []
@@ -243,6 +246,9 @@ def pipeline_check(frames_bgr, facade_per_frame, *, yolo_weights,
             "rows_matched": rows_matched, "rows_total": rows_total,
             "wall_fps": n / max(wall, 1e-9),
             "detect_dtype": detect_dtype or "bf16",
+            "preprocess_impl": preprocess_impl,
+            "reid_dtype": reid_dtype or "bf16",
+            "scan_bucket": scan_bucket,
             "examples": examples}
 
 
@@ -290,11 +296,35 @@ def main():
                          "ordering between batch shapes; f32 scores are "
                          "stable. Compare the pipeline agreement and "
                          "wall FPS against the default run.")
+    ap.add_argument("--f32_reid", action="store_true",
+                    help="run BOTH embed paths (facade + pipeline) with "
+                         "the f32 ReID forward: the facade embeds a "
+                         "fixed per-frame crop bucket while the pipeline "
+                         "fuses load-adaptive buckets across the chunk — "
+                         "different batch shapes, so bf16 features "
+                         "diverge in low bits and flip near-tied "
+                         "appearance assignments.")
+    ap.add_argument("--pipeline_scan_bucket", type=int, default=32,
+                    help="capacity-bucketed scan size for the pipeline "
+                         "arm (0 disables — divergence-isolation probe: "
+                         "the bucketed scan transitions paths as live "
+                         "tracks cross the bucket)")
+    ap.add_argument("--pipeline_preprocess", default="auto",
+                    choices=("auto", "xla", "pallas"),
+                    help="preprocess implementation for the CHUNKED "
+                         "pipeline arm. The batch-1 facade detect always "
+                         "letterboxes via the XLA path, while the "
+                         "pipeline defaults to the Pallas kernel on TPU "
+                         "— and the two agree only within one uint8 LSB "
+                         "(test_ops.py), a per-pixel input perturbation. "
+                         "'xla' removes that confound so the remaining "
+                         "disagreement is attributable to batch shape.")
     ap.add_argument("--json_out", default="",
                     help="append the run's metrics as one JSON line to "
                          "this file (the CI agreement floor reads it)")
     args = ap.parse_args()
     detect_dtype = "f32" if args.f32_detect else None
+    reid_dtype = "f32" if args.f32_reid else None
 
     from aicamera_tpu.detector import YOLODetector
 
@@ -371,7 +401,8 @@ def main():
     rep = run_parity(frames, detections,
                      reid_weights=args.reid_weights,
                      min_conf=args.min_conf,
-                     max_tracks=args.max_tracks)
+                     max_tracks=args.max_tracks,
+                     reid_dtype=reid_dtype)
 
     ok = rep["mismatched_frames"] == 0
     print(f"frames={rep['frames']} dets/frame="
@@ -394,7 +425,10 @@ def main():
                             reid_weights=args.reid_weights,
                             conf=args.conf, min_conf=args.min_conf,
                             max_tracks=args.max_tracks,
-                            detect_dtype=detect_dtype)
+                            detect_dtype=detect_dtype,
+                            preprocess_impl=args.pipeline_preprocess,
+                            reid_dtype=reid_dtype,
+                            scan_bucket=args.pipeline_scan_bucket)
         print(f"pipeline[{pc['detect_dtype']}]: "
               f"{pc['id_identical_frames']}/{pc['frames']} frames "
               f"with identical track-ID sequences, "
@@ -411,6 +445,9 @@ def main():
         line = {"clip": str(Path(args.input).name),
                 "weights": str(Path(args.weights).name),
                 "detect_dtype": detect_dtype or "bf16",
+                "reid_dtype": reid_dtype or "bf16",
+                "pipeline_preprocess": args.pipeline_preprocess,
+                "scan_bucket": args.pipeline_scan_bucket,
                 "frames": rep["frames"],
                 "mismatched_frames": rep["mismatched_frames"]}
         if pc is not None:

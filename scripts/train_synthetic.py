@@ -196,46 +196,76 @@ def main():
         world = _crowd_world()
         if args.out == str(DEFAULT_OUT):
             out = CROWD_OUT
-        # crowd fine-tune defaults: fewer steps, gentler LR (warm start),
-        # smaller batch (the 128-slot renderer's (N, H, W) ownership
-        # masks are ~10x the default world's memory)
-        if args.steps is None:
-            args.steps = 2000
-        if args.lr is None:
-            args.lr = 5e-4
-        if args.batch is None:
-            args.batch = 4
-        # occlusion-heavy scenes cap attainable recall below the
-        # sparse world's even with visibility-filtered gt
-        if args.min_rec is None:
-            args.min_rec = 0.6
+        if not args.reid:
+            # crowd DETECTOR fine-tune defaults: fewer steps, gentler LR
+            # (warm start), smaller batch (the 128-slot renderer's
+            # (N, H, W) ownership masks are ~10x the default world's
+            # memory). The reid branch sets its own crowd defaults.
+            if args.steps is None:
+                args.steps = 2000
+            if args.lr is None:
+                args.lr = 5e-4
+            if args.batch is None:
+                args.batch = 4
+            # occlusion-heavy scenes cap attainable recall below the
+            # sparse world's even with visibility-filtered gt
+            if args.min_rec is None:
+                args.min_rec = 0.6
     if args.min_rec is None:
         args.min_rec = 0.85
     print(f"backend={jax.default_backend()}")
 
     if args.reid:
         from aicamera_tpu.train import ReIDTrainConfig, train_reid
-        reid_out = Path(args.out) if args.out != str(DEFAULT_OUT) else \
-            DEFAULT_OUT.parent.parent / "reid" / \
+        base_reid = DEFAULT_OUT.parent.parent / "reid" / \
             "deepsort_reid_synthetic.msgpack"
+        if args.out != str(DEFAULT_OUT):
+            reid_out = Path(args.out)
+        elif args.crowd:
+            # crowd fine-tune (VERDICT r4 #3): the detector got a crowd
+            # checkpoint in r4 but the embedder didn't — appearance cost
+            # on tiny occluded crowd crops is exactly where the base
+            # synthetic embedder is out-of-domain, and appearance is
+            # DeepSORT's whole differentiator at crowd density.
+            reid_out = base_reid.with_name(
+                "deepsort_reid_synthetic_crowd.msgpack")
+        else:
+            reid_out = base_reid
         if args.eval_only:
             from aicamera_tpu.runtime.params import resolve_reid_params
             model, params = resolve_reid_params(weights_path=str(reid_out))
         else:
             base = ReIDTrainConfig()
+            init_params = None
+            if args.crowd:
+                # warm start + crowd defaults: gentler LR, fewer steps
+                # (the base embedder's conv features transfer; the margin
+                # structure on small occluded crops is what's retrained)
+                if args.steps is None:
+                    args.steps = 1500
+                if args.lr is None:
+                    args.lr = 5e-4
+                if base_reid.exists():
+                    from aicamera_tpu.runtime.params import \
+                        resolve_reid_params
+                    print(f"warm-starting from {base_reid.name}")
+                    _, init_params = resolve_reid_params(
+                        weights_path=str(base_reid))
             cfg = ReIDTrainConfig(
                 steps=args.steps if args.steps is not None else base.steps,
                 scenes=args.batch if args.batch is not None else base.scenes,
                 scan=args.scan if args.scan is not None else base.scan,
                 lr=args.lr if args.lr is not None else base.lr)
             t0 = time.time()
-            model, params = train_reid(world=world, cfg=cfg)
+            model, params = train_reid(world=world, cfg=cfg,
+                                       params=init_params)
             print(f"trained reid in {time.time() - t0:.0f}s")
         intra, inter, intra95, inter5 = evaluate_reid(model, params, world)
         print(json.dumps({"intra_mean": round(intra, 4),
                           "inter_mean": round(inter, 4),
                           "intra_p95": round(intra95, 4),
-                          "inter_p5": round(inter5, 4)}))
+                          "inter_p5": round(inter5, 4),
+                          "world": "crowd" if args.crowd else "default"}))
         if args.eval_only:
             return
         # the appearance gate is 0.2 cosine distance (reference MAX_DIST):
@@ -244,9 +274,15 @@ def main():
         # +- run variance (the default is now 2500 steps, measuring
         # ~0.40), and a retrain in a fresh workspace must not flake at
         # the save gate; 0.25 still clears the 0.2 appearance gate.
-        if intra95 > 0.15 or inter5 < 0.25:
-            print("embedding margin below bar — NOT saving",
-                  file=sys.stderr)
+        # Crowd crops are tiny and mutually occluded — the attainable
+        # margin is structurally lower (identity evidence is a sliver of
+        # the crop), so the crowd gate asks for a usable margin rather
+        # than the sparse world's comfortable one.
+        intra_bar, inter_bar = (0.2, 0.2) if args.crowd else (0.15, 0.25)
+        if intra95 > intra_bar or inter5 < inter_bar:
+            print(f"embedding margin below bar (intra_p95 {intra95:.3f} "
+                  f"> {intra_bar} or inter_p5 {inter5:.3f} < {inter_bar}) "
+                  "— NOT saving", file=sys.stderr)
             sys.exit(1)
         reid_out.parent.mkdir(parents=True, exist_ok=True)
         with open(reid_out, "wb") as f:
