@@ -183,6 +183,9 @@ def pipeline_check(frames_bgr, facade_per_frame, *, yolo_weights,
                    chunk_size=96, detect_dtype=None,
                    preprocess_impl="auto", reid_dtype=None,
                    scan_bucket=32):
+    # chunk_size 1 compiles the scan at K=1 — per-frame stepping in the
+    # same program structure; isolates K-dependent compiled-arithmetic
+    # drift (ULP-level f32 scheduling differences across programs)
     """Run the production chunked TrackingPipeline over the same frames and
     compare its emitted tracks against the facade's (== the reference's).
 
@@ -304,6 +307,11 @@ def main():
                          "different batch shapes, so bf16 features "
                          "diverge in low bits and flip near-tied "
                          "appearance assignments.")
+    ap.add_argument("--pipeline_chunk", type=int, default=96,
+                    help="pipeline chunk size for the agreement pass "
+                         "(1 = per-frame stepping; divergence-isolation "
+                         "probe for chunk-size-dependent compiled "
+                         "arithmetic)")
     ap.add_argument("--pipeline_scan_bucket", type=int, default=32,
                     help="capacity-bucketed scan size for the pipeline "
                          "arm (0 disables — divergence-isolation probe: "
@@ -428,7 +436,8 @@ def main():
                             detect_dtype=detect_dtype,
                             preprocess_impl=args.pipeline_preprocess,
                             reid_dtype=reid_dtype,
-                            scan_bucket=args.pipeline_scan_bucket)
+                            scan_bucket=args.pipeline_scan_bucket,
+                            chunk_size=args.pipeline_chunk)
         print(f"pipeline[{pc['detect_dtype']}]: "
               f"{pc['id_identical_frames']}/{pc['frames']} frames "
               f"with identical track-ID sequences, "
@@ -448,6 +457,7 @@ def main():
                 "reid_dtype": reid_dtype or "bf16",
                 "pipeline_preprocess": args.pipeline_preprocess,
                 "scan_bucket": args.pipeline_scan_bucket,
+                "pipeline_chunk": args.pipeline_chunk,
                 "frames": rep["frames"],
                 "mismatched_frames": rep["mismatched_frames"]}
         if pc is not None:

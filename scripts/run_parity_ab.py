@@ -41,10 +41,13 @@ def main():
         preproc = parts[1] if len(parts) > 1 else ""
         reid = parts[2] if len(parts) > 2 else ""
         bucket = parts[3] if len(parts) > 3 else ""
+        chunk = parts[4] if len(parts) > 4 else ""
         argv = ["clip_parity.py", "--pipeline_check",
                 "--weights", args.weights, "--json_out", args.json_out]
         if bucket != "":
             argv += ["--pipeline_scan_bucket", bucket]
+        if chunk != "":
+            argv += ["--pipeline_chunk", chunk]
         if dtype == "f32":
             argv.append("--f32_detect")
         if preproc:
