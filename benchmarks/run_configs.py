@@ -1354,7 +1354,12 @@ def config26_serving(duration_s=12.0):
         # measurement or explicitly marked degraded.
         _mark("idling 60s between phases (tunnel recovery)")
         time.sleep(60)
-        total = max(4.0, 0.5 * sat_rps)
+        # 0.3x saturation: the open-loop paced pattern fires more, smaller
+        # dispatches than the window-8 closed loop that measured sat_rps,
+        # so on this tunnel (per-RPC cost dominates) offered load above
+        # ~1/3 of closed-loop saturation grows the queue without bound
+        # (r5: 0.5x gave 33 s queue waits from a 12 s submission window)
+        total = max(4.0, 0.3 * sat_rps)
         rates = tuple(round(total * w / 9.0, 1) for w in (4, 2, 2, 1))
         lat_lock = threading.Lock()
 
@@ -1432,6 +1437,18 @@ def config26_serving(duration_s=12.0):
                  / max(n, 1))
     wall_adherence = (sum(1 for v in wall_ms if v <= sla_ms)
                       / max(n, 1))
+    # The endpoint probes can be healthy while SUSTAINED dispatch
+    # degrades the tunnel mid-run (CLAUDE.md) — the measured per-chunk
+    # RPC is the ground truth for the window the wall rows lived in.
+    rpc_p50 = _pct(rpc_ms, 0.5)
+    if rpc_p50 > 10 * max(dispatch_device_ms, 1.0):
+        paced_rec = dict(paced_rec, degraded=True,
+                         midrun_rpc_p50_ms=round(rpc_p50, 1))
+    # A 250 ms wall SLA cannot be met when one sustained transfer costs
+    # ~1 s (environment, not scheduling) — also score a 10 s wall SLA so
+    # the wall path has a meaningful measured number on this host.
+    wall_adherence_10s = (sum(1 for v in wall_ms if v <= 10_000.0)
+                          / max(n, 1))
 
     _emit("26_serving_multitenant", round(device_req_per_s, 1),
           unit="req_per_s_device",
@@ -1441,6 +1458,7 @@ def config26_serving(duration_s=12.0):
           sla_ms=sla_ms,
           sla_adherence_compute=round(adherence, 3),
           sla_adherence_wall=round(wall_adherence, 3),
+          sla_adherence_wall_10s=round(wall_adherence_10s, 3),
           queue_wait_p50_ms=round(_pct(queue_ms, 0.5), 1),
           queue_wait_p99_ms=round(_pct(queue_ms, 0.99), 1),
           compute_p50_ms=round(_pct(sorted(compute_lat_ms), 0.5), 1),
@@ -1787,9 +1805,16 @@ def config30_crowd_overflow(frames_n=160, score_frames=144):
 
     from aicamera_tpu.eval import evaluate_hota, evaluate_mot
     import jax as _jax
-    for name, slots in (("deepsort_192", 192), ("deepsort_384_control",
-                                                384),
-                        ("bytetrack_192", None)):
+    # the max_age=30 row is the measured slot-reclamation lever: at 155
+    # identities, max_age=70 (reference default) keeps ~2.5 coasting
+    # tracks per visible identity — shortening the coast window frees
+    # slots without touching the overflow policy's semantics (it is the
+    # reference's own parameter, config.py:27)
+    for name, slots, max_age in (
+            ("deepsort_192", 192, 70),
+            ("deepsort_384_control", 384, 70),
+            ("deepsort_192_maxage30", 192, 30),
+            ("bytetrack_192", None, None)):
         if slots is None:
             kwargs = {"tracker": "bytetrack",
                       "bytetrack_params": ByteTrackParams(
@@ -1797,7 +1822,7 @@ def config30_crowd_overflow(frames_n=160, score_frames=144):
             slots = 192
         else:
             kwargs = {"tracker_params": TrackerParams(
-                max_tracks=slots, max_detections=100,
+                max_tracks=slots, max_detections=100, max_age=max_age,
                 feature_dim=cfg.REID_FEATURE_DIM),
                 "reid_weights": str(reid_w) if reid_w.exists() else None,
                 "max_reid_crops": 64}
@@ -1832,11 +1857,13 @@ def config30_crowd_overflow(frames_n=160, score_frames=144):
               dropped_detections=dropped,
               gt_visible_mean=round(float(np.mean(gt_live)), 1),
               track_slots=slots, det_slate=100,
+              max_age=(max_age if max_age is not None else 30),
               reid_checkpoint=(reid_w.name if reid_w.exists() else None),
               note="224-slot world @ 0.35 scale; overflow policy: "
                    "table-full drops new tentatives (dropped counter), "
                    "never evicts live tracks; 384-slot control row "
-                   "isolates the overflow cost")
+                   "isolates the overflow cost; max_age=30 row is the "
+                   "slot-reclamation tuning lever")
 
 
 CONFIGS = {1: config1_detect_cpu, 2: config2_detect_clip,
