@@ -12,8 +12,11 @@ from aicamera_tpu.runtime.params import template_params
 
 
 def n_params(model, hw=(64, 64)):
-    tpl = template_params(model, jnp.zeros((1, *hw, 3), jnp.float32))
-    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tpl))
+    # shapes only — materializing template_params runs one tiny compiled
+    # program per leaf (~29 s for the 'm' variant on this single core)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, *hw, 3), jnp.float32))
+    return sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
 
 
 @pytest.mark.parametrize("variant,published_m", [

@@ -104,28 +104,40 @@ def test_release_mid_stream_joins_cleanly():
     r.release()   # decode thread blocked on a full ring must unblock
     r.release()   # idempotent
 
-def test_parallel_decode_bitwise_matches_sequential():
-    """Segment-parallel decode (4 workers, one keyframe seek each,
-    in-order reorder window) must reproduce the sequential stream
-    bitwise over the whole clip — this also proves ffmpeg's
-    CAP_PROP_POS_FRAMES seek is frame-accurate on the reference asset."""
+def _read_all(nt, max_frames=None):
     from aicamera_tpu.utils.video_io import NativeVideoReader
+    r = NativeVideoReader(CLIP, n_threads=nt, max_frames=max_frames)
+    try:
+        out = []
+        while True:
+            c = r.read_chunk(96)
+            if len(c) == 0:
+                break
+            out.append(c.copy())
+    finally:
+        r.release()
+    return np.concatenate(out)
 
-    def read_all(nt):
-        r = NativeVideoReader(CLIP, n_threads=nt)
-        try:
-            out = []
-            while True:
-                c = r.read_chunk(96)
-                if len(c) == 0:
-                    break
-                out.append(c.copy())
-        finally:
-            r.release()
-        return np.concatenate(out)
 
-    seq = read_all(1)
-    par = read_all(4)
+def test_parallel_decode_bitwise_matches_sequential():
+    """Segment-parallel decode (multiple workers, one keyframe seek
+    each, in-order reorder window) must reproduce the sequential stream
+    bitwise — fast-tier window: 240 frames / 3 segments exercises two
+    verified seek boundaries; the full-clip sweep is the slow-tier
+    test below."""
+    seq = _read_all(1, max_frames=240)
+    par = _read_all(3, max_frames=240)
+    assert par.shape == seq.shape
+    np.testing.assert_array_equal(par, seq)
+
+
+@pytest.mark.slow
+def test_parallel_decode_bitwise_matches_sequential_full_clip():
+    """Whole-clip 4-worker sweep (slow tier, ~43 s: decodes the clip
+    twice) — also proves ffmpeg's CAP_PROP_POS_FRAMES seek is
+    frame-accurate on the reference asset at every boundary."""
+    seq = _read_all(1)
+    par = _read_all(4)
     assert par.shape == seq.shape
     np.testing.assert_array_equal(par, seq)
 

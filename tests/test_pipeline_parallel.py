@@ -113,7 +113,10 @@ def test_validation_errors(setup):
         PipelineParallelDetector("n", devices=[])
 
 
+@pytest.mark.slow
 def test_composed_stage_meshes_match_single_device(setup):
+    # slow tier (27 s measured): the 12-device composed pp x dp x tp
+    # forward — the same class as the 16-device dryrun already deferred
     """All three parallelism axes in one forward — stage (pipeline) x
     stream (dp) x model (tp): each stage on its own 2-D
     ('stream','model') sub-mesh with channel-sharded params must match

@@ -14,10 +14,15 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 IMPL = Path(__file__).with_name("test_train_dp_impl.py")
 
 
+@pytest.mark.slow
 def test_train_dp_suite_isolated():
+    # slow tier (71 s measured): >60s compile-heavy subprocess suite —
+    # exactly the documented slow-tier class; CI runs both tiers
     r = subprocess.run(
         [sys.executable, "-m", "pytest", str(IMPL), "-q",
          "-p", "no:cacheprovider"],
